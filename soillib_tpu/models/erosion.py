@@ -1,0 +1,776 @@
+"""Unified erosion model — TPU-native kernels.
+
+Re-design of the reference's coupled hydraulic + debris-flow erosion model
+(model/path/erosion.cu, 921 LoC CUDA). The terrain is a two-layer state
+`layers` (W, H, 2) = (bedrock, sediment) heights, stored dimensionless and
+dimensionalized by scale.z (erosion.hpp:60; erosion.cu:441-451).
+
+Per step (see SURVEY.md §3.1):
+  1. `transport_fluvial`  — steady-state water/sediment-mass/momentum fields
+  2. `transport_debris`   — steady-state debris-flow mass/momentum fields
+  3. `mass_transfer`      — Eulerian height-field delta (suspend/deposit/
+                             uplift, stability-clamped, two-layer bookkeeping)
+  4. `mass_creep`         — thermal creep (rate-limited symmetric transfer)
+  5. apply delta; `layer_merge` for export
+
+The transport phase keeps the reference's *model* (per-cell sources,
+exponential attenuation, flux deposition along the flow) but replaces the
+Monte-Carlo particle ensemble with the deterministic upwind fixed-point
+iteration of ops.transport (method="field", the TPU-idiomatic default); a
+faithful particle method (threefry, scatter-add) is available with
+method="particles" for distributional parity with the reference.
+
+Numerical quirks of the reference reproduced on purpose (do not "fix"):
+  * empirical rescalings ks/64, kd*1.33, fD/8 (erosion.cu:68-70, 478-480)
+  * the normalize kernels' fixed v=(1,0) -> norm = scale.y
+    (erosion.cu:165-166, 372-373)
+  * the ±0.25*L transfer clamps (erosion.cu:527-528)
+  * sediment-before-bedrock erosion order, uplift to bedrock only
+    (erosion.cu:530-547)
+  * creep symmetry => exact mass conservation (erosion.cu:633-710)
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from soillib_tpu.models.params import ErosionParams
+from soillib_tpu.ops.stencil import _shift
+from soillib_tpu.ops.transport import (
+    bilinear_gather,
+    stepsize,
+    stepsize_center,
+    upwind_push,
+)
+
+_EPS = 1e-12
+
+
+def merged_height(layers):
+    """height = bedrock + sediment (dimensionless)."""
+    return layers[..., 0] + layers[..., 1]
+
+
+def layer_merge(layers):
+    """Ref: erosion.cu:733-757."""
+    return merged_height(layers)
+
+
+def godunov_gradient(height, scale, exit_slope):
+    """Godunov-style steepest one-sided gradient with exit-slope BC.
+
+    Per axis: the backward slope (h - h_neg)*sz/sx is clamped uphill-to-zero
+    (only kept if the neighbor is lower); the forward slope (h_pos - h)*sz/sx
+    is clamped downhill-to-zero; out-of-bounds neighbors contribute the
+    signed exit slope; the steeper magnitude wins (backward on ties).
+    Ref: __glocal, erosion_map.cu:107-159.
+
+    Args:
+      height: (W, H) merged dimensionless height.
+      scale: (sx, sy, sz).
+      exit_slope: boundary slope [m/m].
+    Returns:
+      (W, H, 2).
+    """
+    h = jnp.asarray(height)
+    sx, sy, sz = float(scale[0]), float(scale[1]), float(scale[2])
+    nan = jnp.float32(jnp.nan)
+    hn0 = _shift(h, -1, 0, nan)
+    hp0 = _shift(h, +1, 0, nan)
+    h0n = _shift(h, 0, -1, nan)
+    h0p = _shift(h, 0, +1, nan)
+
+    def one_axis(hn, hp, s):
+        gn = (h - hn) * sz / s
+        gn = jnp.where(jnp.isnan(gn), exit_slope, jnp.maximum(gn, 0.0))
+        gp = (hp - h) * sz / s
+        gp = jnp.where(jnp.isnan(gp), -exit_slope, jnp.minimum(gp, 0.0))
+        return jnp.where(jnp.abs(gp) > jnp.abs(gn), gp, gn)
+
+    gx = one_axis(hn0, hp0, sx)
+    gy = one_axis(h0n, h0p, sy)
+    return jnp.stack([gx, gy], axis=-1)
+
+
+def _length(v):
+    return jnp.sqrt(v[..., 0] ** 2 + v[..., 1] ** 2)
+
+
+# ---------------------------------------------------------------------------
+# Fluvial transport
+# ---------------------------------------------------------------------------
+
+
+def _fluvial_terms(layers, rainfall, discharge, momentum, albedo_surface, scale, p):
+    """Shared source/attenuation terms of the fluvial transport model
+    (erosion.cu:62-96)."""
+    sx, sy, sz = float(scale[0]), float(scale[1]), float(scale[2])
+    A = sx * sy
+    Lvec = jnp.array([sx, sy], jnp.float32)
+    Llen = math.sqrt(sx * sx + sy * sy)
+
+    rho_w = p.densityWater
+    nu = p.viscosityWater
+    tau = p.bedShearWater
+    g = p.gravity
+    ks = p.suspensionRateFluvial / 64.0   # erosion.cu:68
+    kd = p.depositionRateFluvial * 1.33   # erosion.cu:69
+    fD = p.frictionFactor / 8.0           # erosion.cu:70
+    alpha = p.fluvialExponent
+    R = p.rainfall
+    force = jnp.array(p.force, jnp.float32)
+
+    grad = godunov_gradient(merged_height(layers), scale, p.exitSlope)
+    vel = momentum
+
+    # Trajectory-initial speed (erosion.cu:75-79): normalized by sqrt(|L*v|).
+    speed = -(g * grad) + nu * vel + force
+    speed = speed / jnp.sqrt(
+        jnp.maximum(_length(Lvec[None, None, :] * speed), 1e-30)
+    )[..., None]
+
+    # Source terms (erosion.cu:83-91); Q normalization is absorbed: the
+    # field method uses expected per-cell emissions E = A * source-rate.
+    v = _length(vel)
+    shear = 0.125 * fD * rho_w * v * v
+    power = jnp.power(jnp.maximum(shear * _length(grad), 0.0), alpha)
+    E_m = A * ks * power
+    E_w = A * R * rainfall
+    E_v = A * (-(g * grad) + nu * vel)
+    E_a = E_m[..., None] * albedo_surface
+
+    return dict(
+        A=A, Llen=Llen, grad=grad, speed=speed, force=force,
+        E_w=E_w, E_m=E_m, E_v=E_v, E_a=E_a,
+        kd=kd, fD=fD, nu=nu, tau=tau, g=g,
+    )
+
+
+def transport_fluvial(
+    layers,
+    rainfall,
+    discharge,
+    mass,
+    momentum,
+    albedo_surface,
+    scale,
+    param: ErosionParams,
+    *,
+    method: str = None,
+    key=None,
+    iterations: int = None,
+):
+    """Fluvial transport: steady-state water height (discharge), suspended
+    sediment mass, momentum, and transported albedo.
+
+    Ref: __transport_fluvial + __normalize_fluvial (erosion.cu:29-239).
+
+    Args:
+      layers: (W, H, 2) terrain state.
+      rainfall: (W, H) water source field.
+      discharge: (W, H) previous water height (velocity-attenuation input).
+      mass: (W, H) previous suspended mass (unused; kept for API parity).
+      momentum: (W, H, 2) previous momentum field.
+      albedo_surface: (W, H, 3) surface albedo (transport color source).
+      scale: (sx, sy, sz).
+    Returns:
+      (discharge', mass', momentum', albedo_transport') new fields.
+    """
+    p = param
+    method = method or p.transportMethod
+    t = _fluvial_terms(layers, rainfall, discharge, momentum, albedo_surface, scale, p)
+    W, H = rainfall.shape
+
+    if method == "field":
+        iters = iterations or (p.transportIterations or p.maxage)
+        G = _fluvial_field(t, discharge, p, iters)
+    elif method == "particles":
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        G = _fluvial_particles(
+            layers, rainfall, discharge, momentum, albedo_surface, scale, p, key
+        )
+    else:
+        raise ValueError(f"unknown transport method: {method!r}")
+
+    G_w, G_m, G_v, G_a = G[..., 0], G[..., 1], G[..., 2:4], G[..., 4:7]
+
+    # Normalization (erosion.cu:143-187). Fixed v=(1,0) -> norm = scale.y.
+    norm = float(scale[1])
+    A = t["A"]
+    source_v = -p.gravity * t["grad"] + t["force"][None, None, :]
+    discharge_out = (A * p.rainfall * rainfall + G_w) / norm
+    mass_out = G_m / norm
+    momentum_out = (A * source_v + G_v) / norm
+
+    has_mass = (G_m > 0.0) & (_3len(G_a) > 0.0)
+    albedo_out = jnp.where(
+        has_mass[..., None], G_a / jnp.maximum(G_m, 1e-30)[..., None], albedo_surface
+    )
+    return discharge_out, mass_out, momentum_out, albedo_out
+
+
+def _3len(a):
+    return jnp.sqrt(jnp.sum(a * a, axis=-1))
+
+
+def _fluvial_field(t, discharge, p, iters):
+    """Deterministic upwind fixed point of the fluvial transport operator."""
+    speed = t["speed"]
+    v_norm = _length(speed)
+    alive = v_norm >= _EPS
+    dirs = speed / jnp.maximum(v_norm, 1e-30)[..., None]
+
+    step = stepsize_center(dirs)
+    dL = step * t["Llen"]
+    ds = dL / jnp.maximum(v_norm, 1e-30)
+
+    att_m = jnp.where(alive, jnp.exp(-ds * t["kd"]), 0.0)
+    att_w = jnp.where(alive, jnp.exp(-ds * p.evapRate), 0.0)
+    att_v = jnp.where(
+        alive, jnp.exp(-dL * 0.125 * t["fD"] / (_EPS + discharge)), 0.0
+    )
+
+    E = jnp.concatenate(
+        [t["E_w"][..., None], t["E_m"][..., None], t["E_v"], t["E_a"]], axis=-1
+    )
+    att = jnp.stack(
+        [att_w, att_m, att_v, att_v, att_m, att_m, att_m], axis=-1
+    )
+
+    def body(_, G):
+        return upwind_push(att * (E + G), dirs)
+
+    return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(E))
+
+
+def _fluvial_particles(
+    layers, rainfall, discharge, momentum, albedo_surface, scale, p, key
+):
+    """Faithful vectorized MC fluvial transport (erosion.cu:29-141).
+
+    Returns the expected-flux tensor G (W, H, 7) = (water, mass, vel2,
+    albedo3), already divided by nothing — the reference normalization
+    absorbs Q = 1/(P*N) into the per-particle source; equivalently each
+    particle deposits source-rate * A * Ncells / N.
+    """
+    W, H = rainfall.shape
+    sx, sy, sz = float(scale[0]), float(scale[1]), float(scale[2])
+    A = sx * sy
+    Lvec = jnp.array([sx, sy], jnp.float32)
+    Llen = math.sqrt(sx * sx + sy * sy)
+    N = int(p.nSamples)
+    Q = A * W * H / N  # = 1/(P*N), P = 1/(A*elem)   (erosion.cu:53-54)
+
+    g = p.gravity
+    nu = p.viscosityWater
+    tau = p.bedShearWater
+    rho_w = p.densityWater
+    ks = p.suspensionRateFluvial / 64.0
+    kd = p.depositionRateFluvial * 1.33
+    fD = p.frictionFactor / 8.0
+    alpha = p.fluvialExponent
+    R = p.rainfall
+    force = jnp.array(p.force, jnp.float32)
+
+    height = merged_height(layers)
+    grad_field = godunov_gradient(height, scale, p.exitSlope)
+
+    ku, kv = jax.random.split(key)
+    pos = jnp.stack(
+        [
+            0.5 + jax.random.uniform(ku, (N,)) * (W - 1),
+            0.5 + jax.random.uniform(kv, (N,)) * (H - 1),
+        ],
+        axis=-1,
+    )
+    ind = pos[:, 0].astype(jnp.int32) * H + pos[:, 1].astype(jnp.int32)
+
+    mom_flat = jnp.asarray(momentum).reshape(-1, 2)
+    rain_flat = jnp.asarray(rainfall).reshape(-1)
+    alb_flat = jnp.asarray(albedo_surface).reshape(-1, 3)
+    dis_flat = jnp.asarray(discharge).reshape(-1)
+    grad_flat = jnp.asarray(grad_field).reshape(-1, 2)
+
+    def grad_at(pcell):
+        return grad_flat[pcell]
+
+    vel0 = mom_flat[ind]
+    grad0 = grad_at(ind)
+    speed = -(g * grad0) + nu * vel0 + force
+    speed = speed / jnp.sqrt(
+        jnp.maximum(_length(Lvec[None, :] * speed), 1e-30)
+    )[:, None]
+    alive = _length(speed) >= _EPS
+
+    v = _length(vel0)
+    shear = 0.125 * fD * rho_w * v * v
+    power = jnp.power(jnp.maximum(shear * _length(grad0), 0.0), alpha)
+    source_m = Q * ks * power
+    source_w = Q * R * rain_flat[ind]
+    source_v = Q * (-(g * grad0) + nu * vel0)
+    source_a = source_m[:, None] * alb_flat[ind]
+
+    flux0 = jnp.zeros((W * H, 7), jnp.float32)
+    att0 = jnp.ones((N, 3), jnp.float32)  # (w, m, v)
+
+    def body(_, carry):
+        flux, pos, ind, att, speed, alive = carry
+        x, y = pos[:, 0], pos[:, 1]
+        inb = (x >= 0) & (y >= 0) & (x < W) & (y < H)
+        alive = alive & inb
+
+        posc = jnp.clip(pos, 0.0, jnp.array([W - 1e-3, H - 1e-3]))
+        nind = posc[:, 0].astype(jnp.int32) * H + posc[:, 1].astype(jnp.int32)
+        entered = alive & (nind != ind)
+        ind = jnp.where(entered, nind, ind)
+        dep = jnp.concatenate(
+            [
+                (att[:, 0] * source_w)[:, None],
+                (att[:, 1] * source_m)[:, None],
+                att[:, 2:3] * source_v,
+                att[:, 1:2] * source_a,
+            ],
+            axis=-1,
+        )
+        flux = flux.at[ind].add(jnp.where(entered[:, None], dep, 0.0))
+
+        v_norm = _length(speed)
+        ok = v_norm >= _EPS
+        alive = alive & ok
+        v_unit = speed / jnp.maximum(v_norm, 1e-30)[:, None]
+        stp = stepsize(pos, v_unit)
+        dL = stp * Llen
+        ds = dL / jnp.maximum(v_norm, 1e-30)
+
+        gradp = grad_at(ind)
+        accel = -(g * gradp) + nu * mom_flat[ind] + force
+        w1 = 1.0 / (1.0 + dL * (tau + nu))
+        new_speed = w1[:, None] * speed + (dL * w1)[:, None] * accel
+
+        decay_v = 0.125 * fD / (_EPS + dis_flat[ind])
+        new_att = jnp.stack(
+            [
+                att[:, 0] * jnp.exp(-ds * p.evapRate),
+                att[:, 1] * jnp.exp(-ds * kd),
+                att[:, 2] * jnp.exp(-dL * decay_v),
+            ],
+            axis=-1,
+        )
+        new_pos = pos + stp[:, None] * v_unit
+
+        pos = jnp.where(alive[:, None], new_pos, pos)
+        att = jnp.where(alive[:, None], new_att, att)
+        speed = jnp.where(alive[:, None], new_speed, speed)
+        return flux, pos, ind, att, speed, alive
+
+    flux, *_ = jax.lax.fori_loop(
+        0, int(p.maxage), body, (flux0, pos, ind, att0, speed, alive)
+    )
+    return flux.reshape(W, H, 7)
+
+
+# ---------------------------------------------------------------------------
+# Debris transport
+# ---------------------------------------------------------------------------
+
+
+def transport_debris(
+    layers,
+    mass,
+    momentum,
+    albedo_surface,
+    scale,
+    param: ErosionParams,
+    *,
+    method: str = None,
+    key=None,
+    iterations: int = None,
+):
+    """Debris-flow / landslide transport with Bingham-plastic-like rheology.
+
+    Source = kl * max(0, |∇h| - critSlopeBedrock); the carried mass grows
+    above the yield-stress balance (suspension) and decays below it
+    (deposition), with asymmetric rates. Ref: erosion.cu:245-436.
+
+    Args:
+      layers: (W, H, 2); mass: (W, H) previous debris field;
+      momentum: (W, H, 2); albedo_surface: (W, H, 3).
+    Returns:
+      (mass', momentum', albedo_transport').
+    """
+    p = param
+    method = method or p.transportMethod
+    sx, sy, sz = float(scale[0]), float(scale[1]), float(scale[2])
+    A = sx * sy
+    Lvec = jnp.array([sx, sy], jnp.float32)
+    Llen = math.sqrt(sx * sx + sy * sy)
+
+    theta = p.critSlopeBedrock
+    nu = p.viscosityDebris
+    tau = p.bedShearDebris
+    g = p.gravity
+    kl = p.landslideRateDebris
+    kdd = p.depositionRateDebris
+    kds = p.suspensionRateDebris
+    tau_y = p.yieldStress
+
+    grad = godunov_gradient(merged_height(layers), scale, p.exitSlope)
+    vel = momentum
+    speed = -(g * grad) + nu * vel
+    speed = speed / jnp.sqrt(
+        jnp.maximum(_length(Lvec[None, None, :] * speed), 1e-30)
+    )[..., None]
+
+    excess0 = _length(grad) - theta
+    suspend = jnp.maximum(0.0, kl * excess0)
+    E_d = A * suspend
+    E_v = A * (-(g * grad) + nu * vel)
+    E_a = E_d[..., None] * albedo_surface
+
+    if method == "field":
+        iters = iterations or (p.transportIterations or p.maxage)
+        v_norm = _length(speed)
+        alive = v_norm >= _EPS
+        dirs = speed / jnp.maximum(v_norm, 1e-30)[..., None]
+        step = stepsize_center(dirs)
+        dL = step * Llen
+        ds = dL / jnp.maximum(v_norm, 1e-30)
+
+        # Yield-stress balance: the per-particle carried height is
+        # approximated by the previous debris field (the same field-level
+        # estimate mass_transfer uses, erosion.cu:509-513).
+        debrisHeight = _EPS + mass
+        excessStress = g * (excess0 - tau_y / debrisHeight)
+        shearRate = jnp.where(excessStress < 0.0, kdd, kds)
+        factor_d = jnp.exp(ds * shearRate * excessStress / jnp.maximum(v_norm, 1e-30))
+        att_d = jnp.where(alive, factor_d, 0.0)
+        att_v = jnp.where(alive, jnp.exp(-dL * (nu + tau / debrisHeight)), 0.0)
+
+        E = jnp.concatenate([E_d[..., None], E_v, E_a], axis=-1)
+        att = jnp.stack([att_d, att_v, att_v, att_d, att_d, att_d], axis=-1)
+
+        def body(_, G):
+            return upwind_push(att * (E + G), dirs)
+
+        G = jax.lax.fori_loop(0, iters, body, jnp.zeros_like(E))
+    elif method == "particles":
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        G = _debris_particles(layers, mass, momentum, albedo_surface, scale, p, key)
+    else:
+        raise ValueError(f"unknown transport method: {method!r}")
+
+    G_d, G_v, G_a = G[..., 0], G[..., 1:3], G[..., 3:6]
+
+    # Normalization (erosion.cu:353-393): fixed v=(1,0) -> norm = scale.y.
+    norm = float(scale[1])
+    source_v = -p.gravity * grad
+    mass_out = G_d / norm
+    momentum_out = (A * source_v + G_v) / norm
+    has_mass = (G_d > 0.0) & (_3len(G_a) > 0.0)
+    albedo_out = jnp.where(
+        has_mass[..., None], G_a / jnp.maximum(G_d, 1e-30)[..., None], albedo_surface
+    )
+    return mass_out, momentum_out, albedo_out
+
+
+def _debris_particles(layers, mass, momentum, albedo_surface, scale, p, key):
+    """Faithful vectorized MC debris transport (erosion.cu:245-351)."""
+    W, H = mass.shape
+    sx, sy, sz = float(scale[0]), float(scale[1]), float(scale[2])
+    A = sx * sy
+    Lvec = jnp.array([sx, sy], jnp.float32)
+    Llen = math.sqrt(sx * sx + sy * sy)
+    N = int(p.nSamples)
+    Q = A * W * H / N
+
+    theta = p.critSlopeBedrock
+    nu = p.viscosityDebris
+    tau = p.bedShearDebris
+    g = p.gravity
+    kl = p.landslideRateDebris
+    kdd = p.depositionRateDebris
+    kds = p.suspensionRateDebris
+    tau_y = p.yieldStress
+
+    grad_field = godunov_gradient(merged_height(layers), scale, p.exitSlope)
+    grad_flat = jnp.asarray(grad_field).reshape(-1, 2)
+    mom_flat = jnp.asarray(momentum).reshape(-1, 2)
+    alb_flat = jnp.asarray(albedo_surface).reshape(-1, 3)
+
+    ku, kv = jax.random.split(key)
+    pos = jnp.stack(
+        [
+            0.5 + jax.random.uniform(ku, (N,)) * (W - 1),
+            0.5 + jax.random.uniform(kv, (N,)) * (H - 1),
+        ],
+        axis=-1,
+    )
+    ind = pos[:, 0].astype(jnp.int32) * H + pos[:, 1].astype(jnp.int32)
+
+    vel0 = mom_flat[ind]
+    grad0 = grad_flat[ind]
+    speed = -(g * grad0) + nu * vel0
+    speed = speed / jnp.sqrt(
+        jnp.maximum(_length(Lvec[None, :] * speed), 1e-30)
+    )[:, None]
+    alive = _length(speed) >= _EPS
+
+    excess0 = _length(grad0) - theta
+    source_d = Q * jnp.maximum(0.0, kl * excess0)
+    source_v = Q * (-(g * grad0) + nu * vel0)
+    source_a = source_d[:, None] * alb_flat[ind]
+
+    flux0 = jnp.zeros((W * H, 6), jnp.float32)
+    att0 = jnp.ones((N, 2), jnp.float32)  # (d, v)
+
+    def body(_, carry):
+        flux, pos, ind, att, speed, alive = carry
+        x, y = pos[:, 0], pos[:, 1]
+        inb = (x >= 0) & (y >= 0) & (x < W) & (y < H)
+        alive = alive & inb
+
+        posc = jnp.clip(pos, 0.0, jnp.array([W - 1e-3, H - 1e-3]))
+        nind = posc[:, 0].astype(jnp.int32) * H + posc[:, 1].astype(jnp.int32)
+        entered = alive & (nind != ind)
+        ind = jnp.where(entered, nind, ind)
+        dep = jnp.concatenate(
+            [
+                (att[:, 0] * source_d)[:, None],
+                att[:, 1:2] * source_v,
+                att[:, 0:1] * source_a,
+            ],
+            axis=-1,
+        )
+        flux = flux.at[ind].add(jnp.where(entered[:, None], dep, 0.0))
+
+        v_norm = _length(speed)
+        ok = v_norm >= _EPS
+        alive = alive & ok
+        v_unit = speed / jnp.maximum(v_norm, 1e-30)[:, None]
+        stp = stepsize(pos, v_unit)
+        dL = stp * Llen
+        ds = dL / jnp.maximum(v_norm, 1e-30)
+
+        gradp = grad_flat[ind]
+        debrisHeight = _EPS + att[:, 0] * source_d
+        accel = -(g * gradp) + nu * mom_flat[ind]
+        decay = nu + tau / debrisHeight
+        w1 = 1.0 / (1.0 + dL * decay)
+        new_speed = w1[:, None] * speed + (w1 * dL)[:, None] * accel
+
+        excess = _length(gradp) - theta
+        excessStress = g * (excess - tau_y / debrisHeight)
+        shearRate = jnp.where(excessStress < 0.0, kdd, kds)
+        decay_d = ds * shearRate * excessStress / jnp.maximum(v_norm, 1e-30)
+        new_att = jnp.stack(
+            [att[:, 0] * jnp.exp(decay_d), att[:, 1] * jnp.exp(-dL * decay)],
+            axis=-1,
+        )
+        new_pos = pos + stp[:, None] * v_unit
+
+        pos = jnp.where(alive[:, None], new_pos, pos)
+        att = jnp.where(alive[:, None], new_att, att)
+        speed = jnp.where(alive[:, None], new_speed, speed)
+        return flux, pos, ind, att, speed, alive
+
+    flux, *_ = jax.lax.fori_loop(
+        0, int(p.maxage), body, (flux0, pos, ind, att0, speed, alive)
+    )
+    return flux.reshape(W, H, 6)
+
+
+# ---------------------------------------------------------------------------
+# Mass transfer + creep
+# ---------------------------------------------------------------------------
+
+
+def mass_transfer(
+    delta,
+    layers,
+    uplift,
+    discharge,
+    mass,
+    momentum,
+    debris,
+    momentum_debris,
+    albedo_bedrock,
+    albedo_transport_fluvial,
+    albedo_transport_debris,
+    albedo_surface,
+    scale,
+    param: ErosionParams,
+):
+    """Eulerian height-field update: fluvial suspend/deposit, debris
+    suspend/deposit, uplift — stability-clamped, two-layer bookkeeping,
+    surface-albedo mixing. Ref: __transfer (erosion.cu:453-611).
+
+    Returns (delta', albedo_surface').
+    """
+    p = param
+    sx, sy, sz = float(scale[0]), float(scale[1]), float(scale[2])
+    dt = p.timeStep
+    ku = p.uplift
+    kfs = p.suspensionRateFluvial / 64.0
+    kfd = p.depositionRateFluvial * 1.33
+    fD = p.frictionFactor / 8.0
+    alpha = p.fluvialExponent
+    rho = p.densityWater
+    g = p.gravity
+    tau_y = p.yieldStress
+    kds = p.suspensionRateDebris
+    kdd = p.depositionRateDebris
+    kL = p.landslideRateDebris
+    eps = _EPS
+
+    grad = godunov_gradient(merged_height(layers), scale, p.exitSlope)
+    L = math.sqrt(sx * sx + sy * sy)
+    slope = _length(grad)
+
+    # Fluvial erosion (erosion.cu:496-506)
+    v = _length(momentum)
+    shear = 0.125 * fD * rho * v * v
+    power = jnp.power(jnp.maximum(shear * slope, 0.0), alpha)
+    suspend = kfs * power
+    deposit = kfd * mass
+    uplift_rate = ku * uplift
+
+    # Debris erosion (erosion.cu:508-514)
+    debrisHeight = debris
+    excessSlope = slope - p.critSlopeBedrock
+    shearLandslide = jnp.maximum(0.0, kL * excessSlope)
+    shearYield = g * (debrisHeight * excessSlope - tau_y)
+    suspendDebris = shearLandslide + kds * jnp.maximum(0.0, shearYield)
+    depositDebris = jnp.minimum(debrisHeight, jnp.maximum(0.0, -kdd * shearYield))
+
+    # Stability-clamped transfer (erosion.cu:526-528)
+    transfer = dt * (deposit - suspend + depositDebris - suspendDebris)
+    transfer = jnp.maximum(transfer, -0.25 * L * slope)
+    transfer = jnp.minimum(transfer, 0.25 * L * 0.3)
+
+    # Two-layer bookkeeping (erosion.cu:530-547): deposition -> sediment,
+    # erosion eats sediment then bedrock, uplift -> bedrock only.
+    d_bed = delta[..., 0] + dt * uplift_rate / sz
+    d_sed = delta[..., 1] + jnp.maximum(0.0, transfer) / sz
+
+    sed = layers[..., 1]
+    neg = transfer < 0.0
+    limited = jnp.maximum(-sed * sz, transfer)  # sediment portion (<= 0)
+    residual = transfer - limited                # bedrock portion  (<= 0)
+    d_sed = d_sed + jnp.where(neg, limited / sz, 0.0)
+    d_bed = d_bed + jnp.where(neg, residual / sz, 0.0)
+    transfer_post = jnp.where(neg, residual, transfer)
+
+    delta_out = jnp.stack([d_bed, d_sed], axis=-1)
+
+    # Surface / transport albedo mixing (erosion.cu:549-572)
+    totalHeight = mass + debrisHeight
+    mixDepth = 1.0
+    wMass = jnp.minimum(mass / jnp.maximum(totalHeight, 1e-30), 1.0)
+    colorTransport = jnp.minimum(
+        1.0,
+        wMass[..., None] * albedo_transport_fluvial
+        + (1.0 - wMass[..., None]) * albedo_transport_debris,
+    )
+    colorSurface = jnp.minimum(1.0, albedo_surface)
+    wSurf = jnp.minimum(mixDepth, sed * sz)
+    wTrsp = jnp.maximum(eps, transfer_post)
+    wmix = jnp.minimum(wTrsp / (wTrsp + wSurf), 1.0)
+    colorMix = wmix[..., None] * colorTransport + (1.0 - wmix[..., None]) * colorSurface
+
+    bare = sed == 0.0
+    depositing = (totalHeight > 0.0) & (transfer_post > eps)
+    albedo_out = jnp.where(
+        bare[..., None],
+        albedo_bedrock,
+        jnp.where(depositing[..., None], colorMix, albedo_surface),
+    )
+    return delta_out, albedo_out
+
+
+def mass_creep(delta, layers, scale, param: ErosionParams):
+    """Thermal erosion / hillslope creep: symmetric rate-limited transfer of
+    sediment between 4-neighbors, unconditionally stable (x0.25), exactly
+    mass-conservative by symmetry. Ref: __mass_creep (erosion.cu:633-727).
+
+    Returns delta'.
+    """
+    p = param
+    sx, sy, sz = float(scale[0]), float(scale[1]), float(scale[2])
+    critSlope = p.critSlopeSediment
+
+    bed = layers[..., 0]
+    sed = layers[..., 1]
+    h = (bed + sed) * sz
+
+    def pair_transfer(dx, dy, s):
+        """Net gain at each cell from its (+dx, +dy) neighbor (may be <0)."""
+        # Neighbor values with clamp-to-self at the boundary (erosion.cu:655-658)
+        hn = _shift_self(h, dx, dy)
+        sed_n = _shift_self(sed, dx, dy)
+        # Downhill-from-neighbor: neighbor higher -> we gain t = transfer(us, nbr)
+        gain = jnp.maximum(
+            0.0, jnp.minimum(sed_n * sz, 0.5 * ((hn - h) - critSlope * s))
+        )
+        # Uphill: we are higher -> we lose transfer(nbr, us)
+        loss = jnp.maximum(
+            0.0, jnp.minimum(sed * sz, 0.5 * ((h - hn) - critSlope * s))
+        )
+        return jnp.where(hn > h, gain, -loss)
+
+    t = (
+        pair_transfer(+1, 0, sx)
+        + pair_transfer(-1, 0, sx)
+        + pair_transfer(0, +1, sy)
+        + pair_transfer(0, -1, sy)
+    )
+    d_sed = delta[..., 1] + 0.25 * t / sz
+    return jnp.stack([delta[..., 0], d_sed], axis=-1)
+
+
+def _shift_self(h, dx, dy):
+    """Shift with boundary cells replaced by the center value (the creep
+    kernel's oob -> l00 substitution, erosion.cu:655-658)."""
+    W, H = h.shape[0], h.shape[1]
+    shifted = jnp.roll(h, shift=(-dx, -dy), axis=(0, 1))
+    x = jnp.arange(W)[:, None] + dx
+    y = jnp.arange(H)[None, :] + dy
+    oob = (x < 0) | (x >= W) | (y < 0) | (y >= H)
+    return jnp.where(oob, h, shifted)
+
+
+# ---------------------------------------------------------------------------
+# Albedo generators (in-sim visualization instrumentation)
+# ---------------------------------------------------------------------------
+
+
+def albedo_stratum(uplift, layers, scale, param, colorA, colorB, age, freq):
+    """Striped bedrock color from total uplift displacement.
+    Ref: erosion.cu:794-854."""
+    sz = float(scale[2])
+    shift = age * param.uplift * uplift
+    depth = jnp.maximum(shift - layers[..., 0] * sz, 0.0)
+    index = jnp.floor(depth / freq).astype(jnp.int32)
+    even = index % 2 == 0
+    cA = jnp.asarray(colorA, jnp.float32)
+    cB = jnp.asarray(colorB, jnp.float32)
+    return jnp.where(even[..., None], cA, cB)
+
+
+def albedo_layer(albedo_bedrock, albedo_sediment, layers, scale_sediment, shift_sediment):
+    """Bedrock-sediment blend 1/(1 + scale*sed). Ref: erosion.cu:759-791."""
+    cS = jnp.minimum(1.0, albedo_sediment + jnp.asarray(shift_sediment, jnp.float32))
+    blend = 1.0 / (1.0 + scale_sediment * layers[..., 1])
+    return blend[..., None] * albedo_bedrock + (1.0 - blend[..., None]) * cS
+
+
+def albedo_discharge(albedo, discharge, color_discharge, extinction, scale):
+    """Extinction blend toward the water color. Ref: erosion.cu:857-919."""
+    value = jnp.maximum(0.0, discharge)
+    blend = scale * (1.0 - jnp.exp(-extinction * value))
+    c = jnp.asarray(color_discharge, jnp.float32)
+    return blend[..., None] * c + (1.0 - blend[..., None]) * albedo

@@ -1,0 +1,199 @@
+"""Coupled erosion simulation driver.
+
+The reference composes a step in Python (legacy `soil.erode(model, data,
+track, param, 1)`, decomposed into the kernels bound at model.cpp:237-351;
+call stack in SURVEY.md §3.1):
+
+    transport_fluvial -> transport_debris -> mass_transfer -> mass_creep
+    -> apply delta to layers
+
+Here the whole step is ONE jitted pure function over an `ErosionState`
+pytree — XLA fuses the stencil chain; under `shard_map` the same function
+runs 2-D block-decomposed on a device mesh (soillib_tpu.parallel).
+
+The map_t/data_t/track split of the reference collapses into a single
+state: `track` (flux accumulators) are internal to the transport kernels,
+and the `lrate` learning-rate blend of the legacy driver is applied to the
+transported fields: new = (1 - lrate) * old + lrate * estimate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from soillib_tpu.models.erosion import (
+    mass_creep,
+    mass_transfer,
+    transport_debris,
+    transport_fluvial,
+)
+from soillib_tpu.models.params import ErosionParams
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ErosionState:
+    """Full prognostic state of the coupled erosion model.
+
+    Mirrors the reference's model (map_t: height/sediment/rainfall/uplift)
+    + data (data_t: discharge/momentum/mass/debris/debris_momentum) + the
+    albedo instrumentation fields, as one pytree.
+    """
+
+    layers: jax.Array            # (W, H, 2) bedrock, sediment (dimensionless)
+    rainfall: jax.Array          # (W, H)
+    uplift: jax.Array            # (W, H)
+    discharge: jax.Array         # (W, H) water height
+    mass: jax.Array              # (W, H) suspended fluvial sediment
+    momentum: jax.Array          # (W, H, 2)
+    debris: jax.Array            # (W, H)
+    debris_momentum: jax.Array   # (W, H, 2)
+    albedo_bedrock: jax.Array    # (W, H, 3)
+    albedo_surface: jax.Array    # (W, H, 3)
+    albedo_fluvial: jax.Array    # (W, H, 3)
+    albedo_debris: jax.Array     # (W, H, 3)
+
+    @property
+    def height(self):
+        """Merged height (layer_merge, erosion.cu:733-757)."""
+        return self.layers[..., 0] + self.layers[..., 1]
+
+    @property
+    def sediment(self):
+        return self.layers[..., 1]
+
+    def replace(self, **kw) -> "ErosionState":
+        return dataclasses.replace(self, **kw)
+
+    @staticmethod
+    def zeros(shape, height=None, rainfall=None, uplift=None, sediment=None):
+        """Fresh state on a (W, H) grid; `height` initializes bedrock."""
+        W, H = int(shape[0]), int(shape[1])
+        f = lambda *c: jnp.zeros((W, H, *c), jnp.float32)
+        bed = jnp.asarray(height, jnp.float32) if height is not None else f()
+        sed = jnp.asarray(sediment, jnp.float32) if sediment is not None else f()
+        white = jnp.ones((W, H, 3), jnp.float32)
+        return ErosionState(
+            layers=jnp.stack([bed, sed], axis=-1),
+            rainfall=jnp.asarray(rainfall, jnp.float32) if rainfall is not None else jnp.ones((W, H), jnp.float32),
+            uplift=jnp.asarray(uplift, jnp.float32) if uplift is not None else f(),
+            discharge=f(),
+            mass=f(),
+            momentum=f(2),
+            debris=f(),
+            debris_momentum=f(2),
+            albedo_bedrock=white,
+            albedo_surface=white,
+            albedo_fluvial=white,
+            albedo_debris=white,
+        )
+
+
+def erode_step(state: ErosionState, scale, param: ErosionParams, key=None) -> ErosionState:
+    """One coupled erosion step (traceable; see module docstring)."""
+    p = param
+    lr = p.lrate
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    kf, kd = jax.random.split(key)
+
+    dis, mas, mom, alb_f = transport_fluvial(
+        state.layers, state.rainfall, state.discharge, state.mass,
+        state.momentum, state.albedo_surface, scale, p, key=kf,
+    )
+    deb, dmom, alb_d = transport_debris(
+        state.layers, state.debris, state.debris_momentum,
+        state.albedo_surface, scale, p, key=kd,
+    )
+
+    blend = lambda old, new: (1.0 - lr) * old + lr * new
+    dis = blend(state.discharge, dis)
+    mas = blend(state.mass, mas)
+    mom = blend(state.momentum, mom)
+    deb = blend(state.debris, deb)
+    dmom = blend(state.debris_momentum, dmom)
+
+    delta = jnp.zeros_like(state.layers)
+    delta, alb_s = mass_transfer(
+        delta, state.layers, state.uplift, dis, mas, mom, deb, dmom,
+        state.albedo_bedrock, alb_f, alb_d, state.albedo_surface, scale, p,
+    )
+    delta = mass_creep(delta, state.layers, scale, p)
+    layers = state.layers + delta
+
+    return state.replace(
+        layers=layers,
+        discharge=dis,
+        mass=mas,
+        momentum=mom,
+        debris=deb,
+        debris_momentum=dmom,
+        albedo_surface=alb_s,
+        albedo_fluvial=alb_f,
+        albedo_debris=alb_d,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_step(frozen_params, scale, steps):
+    param = ErosionParams()
+    for name, value in frozen_params:
+        setattr(param, name, value)
+
+    def fn(state, key):
+        def body(i, carry):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            return erode_step(st, scale, param, sub), k
+
+        state, _ = jax.lax.fori_loop(0, steps, body, (state, key))
+        return state
+
+    return jax.jit(fn)
+
+
+def make_erode_fn(param: ErosionParams, scale, steps: int = 1):
+    """Jit-compiled erosion driver: fn(state, key=None) -> state after
+    `steps` coupled steps. Compilation is cached on (params, scale, steps)."""
+    compiled = _compiled_step(param.freeze(), tuple(float(s) for s in scale), int(steps))
+
+    def fn(state, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return compiled(state, key)
+
+    return fn
+
+
+def erode(state: ErosionState, scale, param: ErosionParams, steps: int = 1, key=None):
+    """Reference-style convenience driver (`soil.erode(...)`,
+    erosion_gpu.py:105): runs `steps` coupled steps, jitted + cached."""
+    return make_erode_fn(param, scale, steps)(state, key)
+
+
+class ErosionSim:
+    """Stateful convenience wrapper (holds state + scale + params).
+
+    Mirrors the reference's "script is the config" usage:
+
+        sim = ErosionSim(shape=(256, 256), scale=(0.078, 0.078, 4.0), param=p)
+        sim.state = sim.state.replace(...)
+        for _ in range(512):
+            sim.step()
+    """
+
+    def __init__(self, shape, scale, param: ErosionParams = None, state: ErosionState = None, seed: int = 0):
+        self.scale = tuple(float(s) for s in scale)
+        self.param = param or ErosionParams()
+        self.state = state if state is not None else ErosionState.zeros(shape)
+        self.key = jax.random.PRNGKey(seed)
+
+    def step(self, n: int = 1):
+        self.key, sub = jax.random.split(self.key)
+        self.state = erode(self.state, self.scale, self.param, steps=n, key=sub)
+        return self.state

@@ -1,0 +1,296 @@
+"""Steady-state transport solvers (reference: model/path/path.cu).
+
+The reference estimates steady states of linear conservation laws with a
+grid-free Monte-Carlo particle method: particles start uniformly, carry a
+sampled source rate, drift along a velocity field with a DDA step rule, and
+atomicAdd their attenuated source into every cell they enter
+(path.cu:52-139); a normalize pass converts the flux integral to a cell
+value (path.cu:141-170).
+
+TPU-native re-design — two interchangeable methods:
+
+* method="field" (default): the *expected value* of the MC estimator is the
+  fixed point of a linear upwind transport operator. Per cell, the unit
+  flow direction splits outflow between the two downwind neighbors in ratio
+  |v̂x| : |v̂y|; one cell-crossing attenuates by exp(-Δλ·decay) with the same
+  mean-DDA step rule the particles use. Iterating
+
+      G <- PUSH( att * (A*source + G) )
+
+  for `iterations` rounds (default: the reference's W+H Manhattan bound,
+  path.cu:200) converges to the same normalized field, deterministically,
+  as one fused radius-1 stencil per round — the TPU-idiomatic formulation
+  (dense VPU work, no atomics, no gathers).
+
+* method="particles": a faithful vectorized port of the MC estimator —
+  threefry keys replace curand (deterministic in (seed, offset)), vmapped
+  trajectories, and scatter-adds replace atomics. Use for distributional
+  parity studies against the reference.
+
+Both return the normalized field (A*source + flux) / norm with
+norm = |vx|*sy + |vy|*sx evaluated from the *actual* flow (path.cu:160-168).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+_SQRT2 = math.sqrt(2.0)
+
+
+def stepsize(pos, d):
+    """Mean DDA cell-crossing distance in grid space (path.cu:27-49).
+
+    pos: (..., 2) float grid positions; d: (..., 2) unit directions.
+    """
+    px, py = pos[..., 0], pos[..., 1]
+    dx, dy = d[..., 0], d[..., 1]
+    x_neg = jnp.floor(px)
+    y_neg = jnp.floor(py)
+    # (bound - p) / d; d == 0 gives ±inf which the max/min resolve like CUDA.
+    tx = jnp.minimum(
+        jnp.maximum((x_neg - px) / dx, (x_neg + 1.0 - px) / dx), _SQRT2
+    )
+    ty = jnp.minimum(
+        jnp.maximum((y_neg - py) / dy, (y_neg + 1.0 - py) / dy), _SQRT2
+    )
+    return 0.5 * (tx + ty)
+
+
+def stepsize_center(d):
+    """`stepsize` evaluated at cell centers (pos frac = 0.5): the per-cell
+    mean crossing distance used by the field method."""
+    adx = jnp.abs(d[..., 0])
+    ady = jnp.abs(d[..., 1])
+    tx = jnp.minimum(0.5 / jnp.maximum(adx, 1e-30), _SQRT2)
+    ty = jnp.minimum(0.5 / jnp.maximum(ady, 1e-30), _SQRT2)
+    return 0.5 * (tx + ty)
+
+
+def bilinear_gather(field, pos):
+    """Bilinear sample of a (W, H[, C]) field at (..., 2) grid positions.
+
+    Mirrors sample_t<.,2,1>::gather (sample.hpp:155-186): integer-floor cell
+    corners, NaN when pos is out of [0, W-1] x [0, H-1], weight zeroed at the
+    far edge.
+    """
+    W, H = field.shape[0], field.shape[1]
+    x, y = pos[..., 0], pos[..., 1]
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    wx = x - x0
+    wy = y - y0
+
+    # Far-edge clamp (sample.hpp:173-174): drop the +1 sample and weight.
+    wx = jnp.where(x + 1.0 > W - 1.0, 0.0, wx)
+    wy = jnp.where(y + 1.0 > H - 1.0, 0.0, wy)
+
+    x0c = jnp.clip(x0, 0, W - 1)
+    y0c = jnp.clip(y0, 0, H - 1)
+    x1c = jnp.clip(x0 + 1, 0, W - 1)
+    y1c = jnp.clip(y0 + 1, 0, H - 1)
+
+    if field.ndim == 3:
+        wxe, wye = wx[..., None], wy[..., None]
+    else:
+        wxe, wye = wx, wy
+
+    v = (
+        field[x0c, y0c] * (1 - wxe) * (1 - wye)
+        + field[x0c, y1c] * (1 - wxe) * wye
+        + field[x1c, y0c] * wxe * (1 - wye)
+        + field[x1c, y1c] * wxe * wye
+    )
+    oob = (x < 0) | (y < 0) | (x > W - 1.0) | (y > H - 1.0)
+    if field.ndim == 3:
+        oob = oob[..., None]
+    return jnp.where(oob, jnp.nan, v)
+
+
+def upwind_push(payload, dirs):
+    """One round of the upwind transport operator.
+
+    payload: (W, H[, C]) quantity leaving each cell this round.
+    dirs:    (W, H, 2) unit flow directions.
+    Returns the quantity arriving at each cell: contributions from the four
+    neighbors whose outflow points at it, split |v̂x| : |v̂y|. Outflow across
+    the domain boundary is lost (particles exit, path.cu:104).
+    """
+    vx = dirs[..., 0]
+    vy = dirs[..., 1]
+    denom = jnp.abs(vx) + jnp.abs(vy)
+    denom = jnp.where(denom == 0.0, 1.0, denom)
+    wx = jnp.abs(vx) / denom
+    wy = jnp.abs(vy) / denom
+    if payload.ndim == 3:
+        wx, wy = wx[..., None], wy[..., None]
+        vxm = vx[..., None]
+        vym = vy[..., None]
+    else:
+        vxm, vym = vx, vy
+
+    out_xp = jnp.where(vxm > 0, payload * wx, 0.0)  # leaves toward +x
+    out_xn = jnp.where(vxm < 0, payload * wx, 0.0)  # leaves toward -x
+    out_yp = jnp.where(vym > 0, payload * wy, 0.0)
+    out_yn = jnp.where(vym < 0, payload * wy, 0.0)
+
+    def shift_from(a, dx, dy):
+        # arriving[x, y] = a[x - dx, y - dy] with zero inflow at the boundary
+        pad = [(max(0, dx), max(0, -dx)), (max(0, dy), max(0, -dy))]
+        pad += [(0, 0)] * (a.ndim - 2)
+        ap = jnp.pad(a, pad)
+        Wd, Hd = a.shape[0], a.shape[1]
+        x0 = max(0, -dx)
+        y0 = max(0, -dy)
+        return ap[x0 : x0 + Wd, y0 : y0 + Hd, ...]
+
+    return (
+        shift_from(out_xp, +1, 0)
+        + shift_from(out_xn, -1, 0)
+        + shift_from(out_yp, 0, +1)
+        + shift_from(out_yn, 0, -1)
+    )
+
+
+def _solve_field(flow, source, decay, scale, iterations):
+    """Deterministic fixed-point evaluation of the expected MC flux."""
+    W, H = flow.shape[0], flow.shape[1]
+    A = float(scale[0]) * float(scale[1])
+    L = math.sqrt(float(scale[0]) ** 2 + float(scale[1]) ** 2)
+
+    v_len = jnp.linalg.norm(flow, axis=-1)
+    safe = jnp.maximum(v_len, 1e-30)
+    dirs = flow / safe[..., None]
+    step = stepsize_center(dirs)
+    dlam = step * L / safe
+    att = jnp.where(v_len > 0.0, jnp.exp(-dlam * decay), 0.0)
+
+    emit = A * source  # expected per-cell source emission [X*m^D/s]
+    attc = att[..., None] if source.ndim == 3 else att
+
+    def body(_, G):
+        return upwind_push(attc * (emit + G), dirs)
+
+    G = jax.lax.fori_loop(0, iterations, body, jnp.zeros_like(source))
+    return G
+
+
+def _solve_particles(flow, source, decay, scale, count, key, maxstep):
+    """Faithful vectorized MC estimator (path.cu:52-139)."""
+    W, H = flow.shape[0], flow.shape[1]
+    K = source.shape[2] if source.ndim == 3 else 1
+    src = source.reshape(W * H, K)
+    dec = decay.reshape(W * H)
+    A = float(scale[0]) * float(scale[1])
+    L = math.sqrt(float(scale[0]) ** 2 + float(scale[1]) ** 2)
+    P = 1.0 / (A * W * H)
+    eps = 1e-16
+
+    N = count
+    kx, ky = jax.random.split(key)
+    pos = jnp.stack(
+        [
+            jax.random.uniform(kx, (N,), jnp.float32) * W,
+            jax.random.uniform(ky, (N,), jnp.float32) * H,
+        ],
+        axis=-1,
+    )
+    ind = (pos[:, 0].astype(jnp.int32) * H + pos[:, 1].astype(jnp.int32))
+    S = src[ind] / P  # (N, K)
+    alive0 = jnp.linalg.norm(S, axis=-1) >= eps
+
+    flux0 = jnp.zeros((W * H, K), dtype=jnp.float32)
+
+    def body(_, carry):
+        flux, pos, ind, att, alive = carry
+        x, y = pos[:, 0], pos[:, 1]
+        inb = (x >= 0) & (y >= 0) & (x < W) & (y < H)
+        alive = alive & inb & (eps < jnp.abs(att))
+
+        pos_c = jnp.clip(pos, 0.0, jnp.array([W - 1e-3, H - 1e-3]))
+        nind = pos_c[:, 0].astype(jnp.int32) * H + pos_c[:, 1].astype(jnp.int32)
+        entered = alive & (nind != ind)
+        ind = jnp.where(entered, nind, ind)
+        dep = jnp.where(entered[:, None], S * att[:, None], 0.0)
+        flux = flux.at[ind].add(dep)
+
+        v = bilinear_gather(flow, pos)  # (N, 2), NaN fully OOB
+        v = jnp.where(jnp.isnan(v), 0.0, v)
+        v_len = jnp.linalg.norm(v, axis=-1)
+        alive = alive & (v_len >= eps)
+
+        v_norm = v / jnp.maximum(v_len, 1e-30)[:, None]
+        stp = stepsize(pos, v_norm)
+        new_pos = pos + stp[:, None] * v_norm
+        dlam = stp * L / jnp.maximum(v_len, 1e-30)
+        new_att = att * jnp.exp(-dlam * dec[ind])
+
+        pos = jnp.where(alive[:, None], new_pos, pos)
+        att = jnp.where(alive, new_att, att)
+        return flux, pos, ind, att, alive
+
+    flux, *_ = jax.lax.fori_loop(
+        0, maxstep, body, (flux0, pos, ind, jnp.ones((N,), jnp.float32), alive0)
+    )
+    G = flux.reshape(W, H, K) / float(count)
+    return G if source.ndim == 3 else G[..., 0]
+
+
+def solve_uniform(
+    flow,
+    source,
+    decay,
+    scale=(1.0, 1.0),
+    count: int = None,
+    *,
+    method: str = "field",
+    iterations: int = None,
+    seed: int = 0,
+    offset: int = 0,
+    key=None,
+):
+    """Steady-state solve of a linear conservation law along a flow field.
+
+    Args:
+      flow: (W, H, 2) velocity field [m/s].
+      source: (W, H) or (W, H, K<=2) source rate [X/s].
+      decay: (W, H) decay rate [1/s].
+      scale: (sx, sy) cell widths [m].
+      count: particle count (method="particles"); defaults to W*H.
+      method: "field" (deterministic upwind fixed point) or "particles".
+      iterations: field-method rounds; default W+H (the reference's
+        Manhattan step bound, path.cu:200).
+      seed, offset / key: RNG stream for the particle method (replaces
+        silt.seed(rng, seed, offset)).
+
+    Returns:
+      Normalized transported field, same shape as `source`.
+      Ref: path.cu:180-219.
+    """
+    flow = jnp.asarray(flow, jnp.float32)
+    source = jnp.asarray(source, jnp.float32)
+    decay = jnp.asarray(decay, jnp.float32)
+    W, H = flow.shape[0], flow.shape[1]
+    A = float(scale[0]) * float(scale[1])
+
+    if method == "field":
+        it = int(iterations) if iterations is not None else (W + H)
+        G = _solve_field(flow, source, decay, scale, it)
+    elif method == "particles":
+        if key is None:
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), offset)
+        n = int(count) if count is not None else W * H
+        G = _solve_particles(flow, source, decay, scale, n, key, maxstep=W + H)
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+
+    norm = jnp.abs(flow[..., 0]) * float(scale[1]) + jnp.abs(flow[..., 1]) * float(
+        scale[0]
+    )
+    norm = jnp.where(norm == 0.0, jnp.inf, norm)  # zero-flow cells -> 0/inf = 0
+    if source.ndim == 3:
+        norm = norm[..., None]
+    return (source * A + G) / norm

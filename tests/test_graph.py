@@ -1,0 +1,141 @@
+"""Flow-graph op tests vs pure-numpy oracles (SURVEY.md §4 item 1)."""
+
+import numpy as np
+import pytest
+
+import soillib_tpu as soil
+from tests import oracles
+
+
+@pytest.fixture(scope="module")
+def height():
+    rng = np.random.default_rng(42)
+    h = rng.random((24, 17), dtype=np.float32)
+    # a smooth ramp + noise => mixture of pits and channels
+    x = np.linspace(0, 1, 24)[:, None]
+    return (h * 0.3 + x).astype(np.float32)
+
+
+@pytest.mark.parametrize("edge", [soil.d4, soil.d8])
+def test_steepest_matches_oracle(height, edge):
+    got = np.asarray(soil.steepest(height, edge))
+    want = oracles.steepest_oracle(height, edge)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("edge", [soil.d4, soil.d8])
+def test_direction_matches_oracle(height, edge):
+    got = np.asarray(soil.direction(height, edge))
+    want = oracles.direction_oracle(height, edge)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_steepest_flat_is_pit():
+    h = np.zeros((8, 8), np.float32)
+    got = np.asarray(soil.steepest(h, soil.d8))
+    assert (got == -1).all()
+
+
+@pytest.mark.parametrize("edge", [soil.d4, soil.d8])
+def test_accumulate_matches_oracle(height, edge):
+    graph = np.asarray(soil.steepest(height, edge))
+    value = np.random.default_rng(0).random(height.shape).astype(np.float32)
+    got = np.asarray(soil.accumulate(graph, value, edge))
+    want = oracles.accumulate_oracle(graph, value, None, edge)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+def test_accumulate_counts_upstream_cells(height):
+    """accumulate(ones) = upstream contributing area incl. self."""
+    graph = np.asarray(soil.steepest(height, soil.d8))
+    area = np.asarray(soil.accumulate(graph, np.ones_like(height), soil.d8))
+    assert area.min() >= 1.0
+    assert area.max() <= height.size
+    # total area conservation: every cell contributes once per downstream hop;
+    # at least the sum of all cells must appear.
+    assert area.sum() >= height.size
+
+
+@pytest.mark.parametrize("edge", [soil.d4, soil.d8])
+def test_accumulate_decay_matches_oracle(height, edge):
+    graph = np.asarray(soil.steepest(height, edge))
+    rng = np.random.default_rng(1)
+    value = rng.random(height.shape).astype(np.float32)
+    decay = (0.5 + 0.5 * rng.random(height.shape)).astype(np.float32)
+    got = np.asarray(soil.accumulate_decay(graph, value, decay, edge))
+    want = oracles.accumulate_oracle(graph, value, decay, edge)
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-5)
+
+
+def test_accumulate_chain_exact():
+    """Hand-built chain: a->b->c with unit values."""
+    # 1x3 grid: heights descending so steepest D4 gives the chain.
+    h = np.array([[3.0, 2.0, 1.0]], np.float32).T  # (3,1)
+    graph = np.asarray(soil.steepest(h, soil.d4))
+    assert graph[0, 0] == 1 and graph[1, 0] == 2 and graph[2, 0] == -1
+    acc = np.asarray(soil.accumulate(graph, np.ones((3, 1), np.float32), soil.d4))
+    np.testing.assert_allclose(acc[:, 0], [1.0, 2.0, 3.0])
+
+
+def test_random_weighted_deterministic(height):
+    a = np.asarray(soil.random_weighted(height, soil.d8, 0, 7, 10.0))
+    b = np.asarray(soil.random_weighted(height, soil.d8, 0, 7, 10.0))
+    c = np.asarray(soil.random_weighted(height, soil.d8, 0, 8, 10.0))
+    np.testing.assert_array_equal(a, b)
+    assert (a != c).any()
+
+
+def test_random_weighted_only_downhill(height):
+    W, H = height.shape
+    flow = np.asarray(soil.random_weighted(height, soil.d8, 0, 0, 10.0))
+    flat = height.reshape(-1)
+    for x in range(W):
+        for y in range(H):
+            nxt = flow[x, y]
+            if nxt >= 0:
+                assert flat[nxt] < height[x, y]
+
+
+def test_random_weighted_low_temperature_is_steepest(height):
+    """Small T concentrates the Gibbs distribution on the steepest slope."""
+    flow = np.asarray(soil.random_weighted(height, soil.d8, 0, 0, 0.01))
+    steep = np.asarray(soil.steepest(height, soil.d8))
+    agree = (flow == steep).mean()
+    assert agree > 0.9
+
+
+def test_random_weighted_tiny_temperature_overflows_to_pit(height):
+    """T -> 0 overflows exp() to inf; the CDF ratio becomes NaN and every
+    cell degrades to -1 — the reference's behavior too (graph.cu:139,160:
+    inf/inf comparison is false for every k)."""
+    flow = np.asarray(soil.random_weighted(height, soil.d8, 0, 0, 1e-6))
+    assert (flow == -1).all()
+
+
+def test_slope(height):
+    graph = np.asarray(soil.steepest(height, soil.d8))
+    s = np.asarray(soil.slope(height, graph, (2.0, 3.0)))
+    W, H = height.shape
+    flat = height.reshape(-1)
+    for x in range(0, W, 3):
+        for y in range(0, H, 2):
+            nxt = graph[x, y]
+            if nxt < 0:
+                assert s[x, y] == 0.0
+            else:
+                dx = (nxt // H - x) * 2.0
+                dy = (nxt % H - y) * 3.0
+                want = (flat[nxt] - height[x, y]) / np.hypot(dx, dy)
+                np.testing.assert_allclose(s[x, y], want, rtol=1e-5)
+
+
+def test_upstream_mask_and_distance():
+    # Two opposing basins draining to pits at cells 2 and 3.
+    h = np.array([[3.0, 2.0, 1.0, 1.0, 2.0, 3.0]], np.float32).T
+    graph = np.asarray(soil.steepest(h, soil.d4))
+    targets = np.zeros((6, 1), bool)
+    targets[2, 0] = True
+    mask = np.asarray(soil.upstream_mask(graph, targets))
+    np.testing.assert_array_equal(mask[:, 0], [True, True, True, False, False, False])
+    dist = np.asarray(soil.upstream_distance(graph))
+    np.testing.assert_array_equal(dist[:, 0], [2, 1, 0, 0, 1, 2])
