@@ -1,0 +1,74 @@
+"""Halo (ghost-cell) protocol — the seam between single-device and
+block-decomposed execution.
+
+Every radius-r stencil in the framework is written against this protocol:
+
+    padded = halo.pad(field, fill)     # add an r-wide ring of neighbor data
+    ...radius-r stencil arithmetic on `padded`...
+    result = halo.crop(stencil_out)    # drop the ring
+
+On a single device `NO_HALO` makes both calls the identity, so the ops run
+exactly as plain jnp stencils (their internal `_shift` fills supply the
+boundary conditions). Inside `shard_map` on a 2-D device mesh,
+`soillib_tpu.parallel.ShardHalo` implements `pad` with `jax.lax.ppermute`
+neighbor exchanges over ICI, filling the ring with the neighboring block's
+edge data — and with the *global* boundary condition (`fill`) only at true
+domain edges. Because the fills match, a sharded run is bitwise identical
+to the single-device run (all ops are elementwise after the pad).
+
+The reference needs none of this: CUDA kernels read any cell of global
+memory directly (SURVEY.md §2.10). On TPU the halo exchange is the explicit
+ICI analog of that implicit global visibility.
+
+Fill modes:
+  * a float (0.0, nan, ...): constant ring at the domain boundary
+    (matches `ops.stencil._shift`'s constant fill);
+  * "edge": clamp-to-edge replication (matches `_shift_edge` and the creep
+    kernel's clamp-to-self substitution, erosion.cu:655-658).
+"""
+
+from __future__ import annotations
+
+
+class Halo:
+    """Base protocol. Radius-1 by default; ops needing wider rings (the
+    ±16-tap blur) request their radius explicitly via `pad(..., radius=)`."""
+
+    def pad(self, arr, fill, radius: int = 1):
+        raise NotImplementedError
+
+    def crop(self, arr, radius: int = 1):
+        raise NotImplementedError
+
+    def make_push(self, dirs):
+        """Returns push(payload) — one round of the upwind transport
+        operator (ops.transport.upwind_push) with flow directions `dirs`
+        fixed. The sharded implementation pre-pads `dirs` once so each
+        transport round costs a single payload exchange."""
+        raise NotImplementedError
+
+    def global_offsets(self, block_shape):
+        """(x0, y0, W_global, H_global) of this block in the global grid —
+        for ops that emit global flat indices (the receiver graphs)."""
+        raise NotImplementedError
+
+
+class NoHalo(Halo):
+    """Single-device: identity pad/crop; push is the plain upwind operator."""
+
+    def pad(self, arr, fill, radius: int = 1):
+        return arr
+
+    def crop(self, arr, radius: int = 1):
+        return arr
+
+    def make_push(self, dirs):
+        from soillib_tpu.ops.transport import upwind_push
+
+        return lambda payload: upwind_push(payload, dirs)
+
+    def global_offsets(self, block_shape):
+        return 0, 0, int(block_shape[0]), int(block_shape[1])
+
+
+NO_HALO = NoHalo()

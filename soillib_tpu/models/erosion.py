@@ -37,6 +37,7 @@ import math
 import jax
 import jax.numpy as jnp
 
+from soillib_tpu.core.halo import NO_HALO
 from soillib_tpu.models.params import ErosionParams
 from soillib_tpu.ops.stencil import _shift
 from soillib_tpu.ops.transport import (
@@ -59,7 +60,7 @@ def layer_merge(layers):
     return merged_height(layers)
 
 
-def godunov_gradient(height, scale, exit_slope):
+def godunov_gradient(height, scale, exit_slope, halo=NO_HALO):
     """Godunov-style steepest one-sided gradient with exit-slope BC.
 
     Per axis: the backward slope (h - h_neg)*sz/sx is clamped uphill-to-zero
@@ -75,7 +76,7 @@ def godunov_gradient(height, scale, exit_slope):
     Returns:
       (W, H, 2).
     """
-    h = jnp.asarray(height)
+    h = halo.pad(jnp.asarray(height), jnp.nan)
     sx, sy, sz = float(scale[0]), float(scale[1]), float(scale[2])
     nan = jnp.float32(jnp.nan)
     hn0 = _shift(h, -1, 0, nan)
@@ -92,7 +93,7 @@ def godunov_gradient(height, scale, exit_slope):
 
     gx = one_axis(hn0, hp0, sx)
     gy = one_axis(h0n, h0p, sy)
-    return jnp.stack([gx, gy], axis=-1)
+    return halo.crop(jnp.stack([gx, gy], axis=-1))
 
 
 def _length(v):
@@ -104,7 +105,9 @@ def _length(v):
 # ---------------------------------------------------------------------------
 
 
-def _fluvial_terms(layers, rainfall, discharge, momentum, albedo_surface, scale, p):
+def _fluvial_terms(
+    layers, rainfall, discharge, momentum, albedo_surface, scale, p, halo=NO_HALO
+):
     """Shared source/attenuation terms of the fluvial transport model
     (erosion.cu:62-96)."""
     sx, sy, sz = float(scale[0]), float(scale[1]), float(scale[2])
@@ -123,7 +126,7 @@ def _fluvial_terms(layers, rainfall, discharge, momentum, albedo_surface, scale,
     R = p.rainfall
     force = jnp.array(p.force, jnp.float32)
 
-    grad = godunov_gradient(merged_height(layers), scale, p.exitSlope)
+    grad = godunov_gradient(merged_height(layers), scale, p.exitSlope, halo)
     vel = momentum
 
     # Trajectory-initial speed (erosion.cu:75-79): normalized by sqrt(|L*v|).
@@ -162,6 +165,7 @@ def transport_fluvial(
     method: str = None,
     key=None,
     iterations: int = None,
+    halo=NO_HALO,
 ):
     """Fluvial transport: steady-state water height (discharge), suspended
     sediment mass, momentum, and transported albedo.
@@ -181,13 +185,21 @@ def transport_fluvial(
     """
     p = param
     method = method or p.transportMethod
-    t = _fluvial_terms(layers, rainfall, discharge, momentum, albedo_surface, scale, p)
+    t = _fluvial_terms(
+        layers, rainfall, discharge, momentum, albedo_surface, scale, p, halo
+    )
     W, H = rainfall.shape
 
     if method == "field":
         iters = iterations or (p.transportIterations or p.maxage)
-        G = _fluvial_field(t, discharge, p, iters)
+        G = _fluvial_field(t, discharge, p, iters, halo)
     elif method == "particles":
+        if halo is not NO_HALO:
+            raise NotImplementedError(
+                "particle transport is single-device; use method='field' "
+                "under shard_map (cross-block particle migration is not "
+                "implemented — the field solve is the sharded formulation)"
+            )
         if key is None:
             key = jax.random.PRNGKey(0)
         G = _fluvial_particles(
@@ -217,7 +229,7 @@ def _3len(a):
     return jnp.sqrt(jnp.sum(a * a, axis=-1))
 
 
-def _fluvial_field(t, discharge, p, iters):
+def _fluvial_field(t, discharge, p, iters, halo=NO_HALO):
     """Deterministic upwind fixed point of the fluvial transport operator."""
     speed = t["speed"]
     v_norm = _length(speed)
@@ -241,8 +253,10 @@ def _fluvial_field(t, discharge, p, iters):
         [att_w, att_m, att_v, att_v, att_m, att_m, att_m], axis=-1
     )
 
+    push = halo.make_push(dirs)
+
     def body(_, G):
-        return upwind_push(att * (E + G), dirs)
+        return push(att * (E + G))
 
     return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(E))
 
@@ -389,6 +403,7 @@ def transport_debris(
     method: str = None,
     key=None,
     iterations: int = None,
+    halo=NO_HALO,
 ):
     """Debris-flow / landslide transport with Bingham-plastic-like rheology.
 
@@ -418,7 +433,7 @@ def transport_debris(
     kds = p.suspensionRateDebris
     tau_y = p.yieldStress
 
-    grad = godunov_gradient(merged_height(layers), scale, p.exitSlope)
+    grad = godunov_gradient(merged_height(layers), scale, p.exitSlope, halo)
     vel = momentum
     speed = -(g * grad) + nu * vel
     speed = speed / jnp.sqrt(
@@ -453,11 +468,17 @@ def transport_debris(
         E = jnp.concatenate([E_d[..., None], E_v, E_a], axis=-1)
         att = jnp.stack([att_d, att_v, att_v, att_d, att_d, att_d], axis=-1)
 
+        push = halo.make_push(dirs)
+
         def body(_, G):
-            return upwind_push(att * (E + G), dirs)
+            return push(att * (E + G))
 
         G = jax.lax.fori_loop(0, iters, body, jnp.zeros_like(E))
     elif method == "particles":
+        if halo is not NO_HALO:
+            raise NotImplementedError(
+                "particle transport is single-device; use method='field' under shard_map"
+            )
         if key is None:
             key = jax.random.PRNGKey(0)
         G = _debris_particles(layers, mass, momentum, albedo_surface, scale, p, key)
@@ -604,6 +625,7 @@ def mass_transfer(
     albedo_surface,
     scale,
     param: ErosionParams,
+    halo=NO_HALO,
 ):
     """Eulerian height-field update: fluvial suspend/deposit, debris
     suspend/deposit, uplift — stability-clamped, two-layer bookkeeping,
@@ -627,7 +649,7 @@ def mass_transfer(
     kL = p.landslideRateDebris
     eps = _EPS
 
-    grad = godunov_gradient(merged_height(layers), scale, p.exitSlope)
+    grad = godunov_gradient(merged_height(layers), scale, p.exitSlope, halo)
     L = math.sqrt(sx * sx + sy * sy)
     slope = _length(grad)
 
@@ -692,7 +714,7 @@ def mass_transfer(
     return delta_out, albedo_out
 
 
-def mass_creep(delta, layers, scale, param: ErosionParams):
+def mass_creep(delta, layers, scale, param: ErosionParams, halo=NO_HALO):
     """Thermal erosion / hillslope creep: symmetric rate-limited transfer of
     sediment between 4-neighbors, unconditionally stable (x0.25), exactly
     mass-conservative by symmetry. Ref: __mass_creep (erosion.cu:633-727).
@@ -704,8 +726,12 @@ def mass_creep(delta, layers, scale, param: ErosionParams):
     critSlope = p.critSlopeSediment
 
     bed = layers[..., 0]
-    sed = layers[..., 1]
-    h = (bed + sed) * sz
+    # Edge-pad: for a radius-1 shift, clamp-to-edge reproduces the creep
+    # kernel's clamp-to-self substitution (erosion.cu:655-658) exactly —
+    # the substituted neighbor equals the center cell, making the pair
+    # transfer vanish at the boundary either way.
+    sed = halo.pad(layers[..., 1], "edge")
+    h = (halo.pad(bed, "edge") + sed) * sz
 
     def pair_transfer(dx, dy, s):
         """Net gain at each cell from its (+dx, +dy) neighbor (may be <0)."""
@@ -728,7 +754,7 @@ def mass_creep(delta, layers, scale, param: ErosionParams):
         + pair_transfer(0, +1, sy)
         + pair_transfer(0, -1, sy)
     )
-    d_sed = delta[..., 1] + 0.25 * t / sz
+    d_sed = delta[..., 1] + 0.25 * halo.crop(t) / sz
     return jnp.stack([delta[..., 0], d_sed], axis=-1)
 
 

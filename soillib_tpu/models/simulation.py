@@ -25,6 +25,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from soillib_tpu.core.halo import NO_HALO
 from soillib_tpu.models.erosion import (
     mass_creep,
     mass_transfer,
@@ -93,8 +94,15 @@ class ErosionState:
         )
 
 
-def erode_step(state: ErosionState, scale, param: ErosionParams, key=None) -> ErosionState:
-    """One coupled erosion step (traceable; see module docstring)."""
+def erode_step(
+    state: ErosionState, scale, param: ErosionParams, key=None, halo=NO_HALO
+) -> ErosionState:
+    """One coupled erosion step (traceable; see module docstring).
+
+    `halo` selects execution mode: the default runs single-device; a
+    `parallel.ShardHalo` (inside shard_map) runs the identical arithmetic
+    2-D block-decomposed with ICI halo exchanges (see core/halo.py).
+    """
     p = param
     lr = p.lrate
 
@@ -104,11 +112,11 @@ def erode_step(state: ErosionState, scale, param: ErosionParams, key=None) -> Er
 
     dis, mas, mom, alb_f = transport_fluvial(
         state.layers, state.rainfall, state.discharge, state.mass,
-        state.momentum, state.albedo_surface, scale, p, key=kf,
+        state.momentum, state.albedo_surface, scale, p, key=kf, halo=halo,
     )
     deb, dmom, alb_d = transport_debris(
         state.layers, state.debris, state.debris_momentum,
-        state.albedo_surface, scale, p, key=kd,
+        state.albedo_surface, scale, p, key=kd, halo=halo,
     )
 
     blend = lambda old, new: (1.0 - lr) * old + lr * new
@@ -122,8 +130,9 @@ def erode_step(state: ErosionState, scale, param: ErosionParams, key=None) -> Er
     delta, alb_s = mass_transfer(
         delta, state.layers, state.uplift, dis, mas, mom, deb, dmom,
         state.albedo_bedrock, alb_f, alb_d, state.albedo_surface, scale, p,
+        halo=halo,
     )
-    delta = mass_creep(delta, state.layers, scale, p)
+    delta = mass_creep(delta, state.layers, scale, p, halo=halo)
     layers = state.layers + delta
 
     return state.replace(

@@ -43,41 +43,47 @@ import jax
 import jax.numpy as jnp
 
 from soillib_tpu.core.grid import D4, D8, shifts_for, shift_lengths
+from soillib_tpu.core.halo import NO_HALO
 from soillib_tpu.ops.stencil import _shift
 
 
-def _neighbor_stack(h, edge: int):
-    """(K, W, H) stack of neighbor heights (NaN out of bounds) and metadata."""
+def _neighbor_stack(h, edge: int, halo=NO_HALO):
+    """(K, W, H) stack of neighbor heights (NaN out of the *global* domain;
+    under a ShardHalo, block-boundary neighbors come from the exchanged
+    ring) and metadata."""
     shifts = shifts_for(edge)
     nan = jnp.float32(jnp.nan)
+    hp = halo.pad(h, jnp.nan)
     stack = jnp.stack(
-        [_shift(h, int(dx), int(dy), nan) for dx, dy in shifts], axis=0
+        [halo.crop(_shift(hp, int(dx), int(dy), nan)) for dx, dy in shifts],
+        axis=0,
     )
     return stack, shifts, shift_lengths(edge)
 
 
-def _neighbor_flat_index(shape, edge: int):
-    """(K, W, H) flat index of each neighbor (unclamped -> garbage if oob;
-    pair with the NaN mask from `_neighbor_stack`)."""
-    W, H = shape
+def _neighbor_flat_index(shape, edge: int, halo=NO_HALO):
+    """(K, W, H) *global* flat index of each neighbor (unclamped -> garbage
+    if oob; pair with the NaN mask from `_neighbor_stack`)."""
+    W, H = int(shape[0]), int(shape[1])
+    x0, y0, Wg, Hg = halo.global_offsets(shape)
     shifts = shifts_for(edge)
-    x = jnp.arange(W, dtype=jnp.int32)[:, None]
-    y = jnp.arange(H, dtype=jnp.int32)[None, :]
+    x = x0 + jnp.arange(W, dtype=jnp.int32)[:, None]
+    y = y0 + jnp.arange(H, dtype=jnp.int32)[None, :]
     return jnp.stack(
-        [(x + int(dx)) * H + (y + int(dy)) for dx, dy in shifts], axis=0
+        [(x + int(dx)) * Hg + (y + int(dy)) for dx, dy in shifts], axis=0
     )
 
 
-def steepest(height, edge: int = D8):
+def steepest(height, edge: int = D8, halo=NO_HALO):
     """Steepest-descent receiver graph: flat index of the neighbor with the
     steepest positive downhill slope (slope = Δh / ‖shift‖); -1 at local
     minima. Ref: graph.cu:28-91.
 
-    Returns (W, H) int32.
+    Returns (W, H) int32 (global flat indices under a ShardHalo).
     """
     h = jnp.asarray(height)
-    nbrs, shifts, lens = _neighbor_stack(h, edge)
-    nind = _neighbor_flat_index(h.shape, edge)
+    nbrs, shifts, lens = _neighbor_stack(h, edge, halo)
+    nind = _neighbor_flat_index(h.shape, edge, halo)
 
     slopes = (h[None] - nbrs) / jnp.asarray(lens)[:, None, None]
     # NaN (oob) compares false -> treated as not-steeper, like the ref skip.
@@ -92,11 +98,11 @@ def steepest(height, edge: int = D8):
     return jnp.where(best_s > 0.0, best_i, -1).astype(jnp.int32)
 
 
-def direction(height, edge: int = D8):
+def direction(height, edge: int = D8, halo=NO_HALO):
     """Like `steepest` but stores the neighbor slot k (0..K-1) instead of the
     flat index; -1 at local minima. Ref: graph.cu:202-264."""
     h = jnp.asarray(height)
-    nbrs, shifts, lens = _neighbor_stack(h, edge)
+    nbrs, shifts, lens = _neighbor_stack(h, edge, halo)
     slopes = (h[None] - nbrs) / jnp.asarray(lens)[:, None, None]
     slopes = jnp.where(jnp.isnan(slopes), -jnp.inf, slopes)
     best_k = jnp.argmax(slopes, axis=0)
@@ -104,7 +110,7 @@ def direction(height, edge: int = D8):
     return jnp.where(best_s > 0.0, best_k, -1).astype(jnp.int32)
 
 
-def random_weighted(height, edge: int = D8, seed: int = 0, offset: int = 0, T: float = 1.0, *, key=None):
+def random_weighted(height, edge: int = D8, seed: int = 0, offset: int = 0, T: float = 1.0, *, key=None, u=None, halo=NO_HALO):
     """Stochastic multiple-flow-direction receiver graph.
 
     Per cell, a Gibbs distribution over downhill neighbors with
@@ -114,13 +120,15 @@ def random_weighted(height, edge: int = D8, seed: int = 0, offset: int = 0, T: f
 
     Determinism: a threefry key derived from (seed, offset) replaces the
     reference's curand_init(seed, n, offset) state grid. Pass `key` to
-    supply a key directly.
+    supply a key directly, or `u` to supply the per-cell uniforms (the
+    sharded path passes each block its slice of one global draw so the
+    ensemble is partition-invariant).
     """
     h = jnp.asarray(height)
     if key is None:
         key = jax.random.fold_in(jax.random.PRNGKey(seed), offset)
-    nbrs, shifts, lens = _neighbor_stack(h, edge)
-    nind = _neighbor_flat_index(h.shape, edge)
+    nbrs, shifts, lens = _neighbor_stack(h, edge, halo)
+    nind = _neighbor_flat_index(h.shape, edge, halo)
     valid = ~jnp.isnan(nbrs)
 
     dE = (h[None] - nbrs) / jnp.asarray(lens)[:, None, None]
@@ -128,7 +136,8 @@ def random_weighted(height, edge: int = D8, seed: int = 0, offset: int = 0, T: f
     CDF = jnp.cumsum(P, axis=0)
     Z = CDF[-1]
 
-    u = jax.random.uniform(key, h.shape, dtype=h.dtype)
+    if u is None:
+        u = jax.random.uniform(key, h.shape, dtype=h.dtype)
     # First valid slot with u < CDF_k / Z; Z == 0 -> no hit -> -1 (the
     # reference's 0/0 = NaN comparison is always false, graph.cu:160).
     hit = valid & (u[None] * Z < CDF) & (Z[None] > 0.0)

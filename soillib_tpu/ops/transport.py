@@ -38,6 +38,8 @@ import math
 import jax
 import jax.numpy as jnp
 
+from soillib_tpu.core.halo import NO_HALO
+
 _SQRT2 = math.sqrt(2.0)
 
 
@@ -155,7 +157,7 @@ def upwind_push(payload, dirs):
     )
 
 
-def _solve_field(flow, source, decay, scale, iterations):
+def _solve_field(flow, source, decay, scale, iterations, halo=NO_HALO):
     """Deterministic fixed-point evaluation of the expected MC flux."""
     W, H = flow.shape[0], flow.shape[1]
     A = float(scale[0]) * float(scale[1])
@@ -171,8 +173,10 @@ def _solve_field(flow, source, decay, scale, iterations):
     emit = A * source  # expected per-cell source emission [X*m^D/s]
     attc = att[..., None] if source.ndim == 3 else att
 
+    push = halo.make_push(dirs)
+
     def body(_, G):
-        return upwind_push(attc * (emit + G), dirs)
+        return push(attc * (emit + G))
 
     G = jax.lax.fori_loop(0, iterations, body, jnp.zeros_like(source))
     return G
@@ -251,6 +255,7 @@ def solve_uniform(
     seed: int = 0,
     offset: int = 0,
     key=None,
+    halo=NO_HALO,
 ):
     """Steady-state solve of a linear conservation law along a flow field.
 
@@ -278,8 +283,12 @@ def solve_uniform(
 
     if method == "field":
         it = int(iterations) if iterations is not None else (W + H)
-        G = _solve_field(flow, source, decay, scale, it)
+        G = _solve_field(flow, source, decay, scale, it, halo)
     elif method == "particles":
+        if halo is not NO_HALO:
+            raise NotImplementedError(
+                "particle transport is single-device; use method='field' under shard_map"
+            )
         if key is None:
             key = jax.random.fold_in(jax.random.PRNGKey(seed), offset)
         n = int(count) if count is not None else W * H

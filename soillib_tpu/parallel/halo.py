@@ -1,0 +1,109 @@
+"""Halo exchange over the device mesh (`jax.lax.ppermute` inside shard_map).
+
+Implements the `core.halo.Halo` protocol for 2-D block decomposition: `pad`
+grows each block by an r-wide ring holding the neighboring blocks' edge
+slabs, exchanged as two sequential non-periodic shifts (x first, then y on
+the already-x-padded block, so corner cells pick up the diagonal neighbor's
+data in the second hop — no separate corner messages, the standard 2-hop
+corner trick). On TPU hardware each shift is a neighbor ppermute that XLA
+lowers to ICI collective-permute; the payload per step is one edge slab
+(r × block-edge cells), a few KB–MB, far below ICI speed-of-light limits.
+
+Global-boundary blocks fill their outward-facing ring with the op's own
+boundary condition (`fill`), which is what makes sharded execution bitwise
+identical to single-device execution (see core/halo.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from soillib_tpu.core.halo import Halo
+
+
+def _fill_slab(slab_like, arr, fill, axis: int, lo: bool, radius: int):
+    """Boundary-ring values: constant, or clamp-to-edge replication."""
+    if isinstance(fill, str):
+        if fill != "edge":
+            raise ValueError(f"unknown fill mode: {fill!r}")
+        n = arr.shape[axis]
+        edge = lax.slice_in_dim(arr, 0, 1, axis=axis) if lo else lax.slice_in_dim(
+            arr, n - 1, n, axis=axis
+        )
+        reps = [1] * arr.ndim
+        reps[axis] = radius
+        return jnp.tile(edge, reps)
+    return jnp.full_like(slab_like, fill)
+
+
+def exchange_axis(arr, axis_name: str, n_blocks: int, axis: int, fill, radius: int):
+    """Pad `arr` along `axis` with the neighboring blocks' edge slabs.
+
+    `n_blocks` is the static mesh extent along `axis_name`; the shift is
+    non-periodic (ppermute drops the wrap-around pair), and the two domain-
+    boundary blocks overwrite their undelivered ring with `fill`.
+    """
+    n = arr.shape[axis]
+    if radius > n:
+        raise ValueError(f"halo radius {radius} exceeds block extent {n}")
+    hi_slab = lax.slice_in_dim(arr, n - radius, n, axis=axis)  # → right nbr
+    lo_slab = lax.slice_in_dim(arr, 0, radius, axis=axis)      # → left nbr
+
+    if n_blocks > 1:
+        fwd = [(i, i + 1) for i in range(n_blocks - 1)]
+        bwd = [(i + 1, i) for i in range(n_blocks - 1)]
+        from_left = lax.ppermute(hi_slab, axis_name, fwd)
+        from_right = lax.ppermute(lo_slab, axis_name, bwd)
+        idx = lax.axis_index(axis_name)
+        from_left = jnp.where(
+            idx == 0, _fill_slab(from_left, arr, fill, axis, True, radius), from_left
+        )
+        from_right = jnp.where(
+            idx == n_blocks - 1,
+            _fill_slab(from_right, arr, fill, axis, False, radius),
+            from_right,
+        )
+    else:
+        from_left = _fill_slab(hi_slab, arr, fill, axis, True, radius)
+        from_right = _fill_slab(lo_slab, arr, fill, axis, False, radius)
+
+    return jnp.concatenate([from_left, arr, from_right], axis=axis)
+
+
+class ShardHalo(Halo):
+    """Halo provider bound to a 2-D mesh; use inside `shard_map` only.
+
+    Args:
+      mesh_shape: static (px, py) block counts (mesh.devices.shape).
+      axis_names: the mesh axis names, default ("X", "Y").
+    """
+
+    def __init__(self, mesh_shape, axis_names=("X", "Y")):
+        self.px, self.py = int(mesh_shape[0]), int(mesh_shape[1])
+        self.ax_name, self.ay_name = axis_names
+
+    def pad(self, arr, fill, radius: int = 1):
+        arr = exchange_axis(arr, self.ax_name, self.px, 0, fill, radius)
+        return exchange_axis(arr, self.ay_name, self.py, 1, fill, radius)
+
+    def crop(self, arr, radius: int = 1):
+        r = radius
+        return arr[r:-r, r:-r, ...]
+
+    def make_push(self, dirs):
+        from soillib_tpu.ops.transport import upwind_push
+
+        dirs_p = self.pad(dirs, 0.0)
+
+        def push(payload):
+            return self.crop(upwind_push(self.pad(payload, 0.0), dirs_p))
+
+        return push
+
+    def global_offsets(self, block_shape):
+        bw, bh = int(block_shape[0]), int(block_shape[1])
+        x0 = lax.axis_index(self.ax_name) * bw
+        y0 = lax.axis_index(self.ay_name) * bh
+        return x0, y0, bw * self.px, bh * self.py

@@ -1,0 +1,194 @@
+"""Sharded execution == single-device execution (SURVEY.md §4 item 3).
+
+Runs on 8 virtual CPU devices (conftest.py). The sharded stencil/transport
+ops must match the single-device ops *bitwise* (identical arithmetic after
+halo pads); the global-graph ops run GSPMD-partitioned and must match too.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import soillib_tpu as soil
+from soillib_tpu import parallel as par
+
+SCALE3 = (0.5, 0.7, 2.0)
+SCALE2 = (0.5, 0.7)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest should provide 8 cpu devices"
+    return par.make_mesh()  # (2, 4)
+
+
+@pytest.fixture(scope="module")
+def height():
+    key = jax.random.PRNGKey(7)
+    return jax.random.normal(key, (32, 48), jnp.float32) * 3.0
+
+
+def _assert_same(a, b, bitwise=True):
+    a, b = np.asarray(a), np.asarray(b)
+    if bitwise:
+        np.testing.assert_array_equal(a, b)
+    else:
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_mesh_factorization():
+    assert par.factor2(8) == (2, 4)
+    assert par.factor2(16) == (4, 4)
+    assert par.factor2(7) == (1, 7)
+
+
+def test_halo_pad_matches_global_pad(mesh, height):
+    """pad(fill) inside shard_map reproduces global jnp.pad semantics."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    halo = par.ShardHalo(mesh.devices.shape, mesh.axis_names)
+    spec = par.grid_spec(mesh)
+
+    def local(x):
+        p = halo.pad(x, 0.0)
+        return halo.crop(p)  # identity if pad/crop are consistent
+
+    out = jax.jit(
+        shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
+    )(height)
+    _assert_same(out, height)
+
+
+def test_halo_shift_parity(mesh, height):
+    """A shifted read through the halo equals the global shifted read."""
+    from jax import shard_map
+    from soillib_tpu.ops.stencil import _shift
+
+    halo = par.ShardHalo(mesh.devices.shape, mesh.axis_names)
+    spec = par.grid_spec(mesh)
+
+    for dx, dy in [(-1, 0), (1, 0), (0, -1), (0, 1), (1, 1), (-1, 1)]:
+        def local(x, dx=dx, dy=dy):
+            return halo.crop(_shift(halo.pad(x, jnp.nan), dx, dy, jnp.nan))
+
+        out = jax.jit(
+            shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                      check_vma=False)
+        )(height)
+        _assert_same(out, _shift(height, dx, dy, jnp.nan))
+
+
+def test_sharded_gradient(mesh, height):
+    _assert_same(
+        par.ops.gradient(height, SCALE2, mesh), soil.gradient(height, SCALE2),
+        bitwise=False,
+    )
+
+
+def test_sharded_negslope(mesh, height):
+    _assert_same(
+        par.ops.negslope(height, SCALE2, mesh), soil.negslope(height, SCALE2),
+        bitwise=False,
+    )
+
+
+def test_sharded_laplacian(mesh, height):
+    _assert_same(
+        par.ops.laplacian(height, SCALE2, mesh), soil.laplacian(height, SCALE2),
+        bitwise=False,
+    )
+
+
+def test_sharded_normal(mesh, height):
+    _assert_same(par.ops.normal(height, SCALE3, mesh), soil.normal(height, SCALE3),
+                 bitwise=False)
+
+
+def test_sharded_blur(mesh):
+    # blocks are 32x32 on the (2, 4) mesh -> >= the 16-cell window
+    h = jax.random.normal(jax.random.PRNGKey(3), (64, 128), jnp.float32)
+    _assert_same(
+        par.ops.gaussian_blur(h, 4.0, mesh), soil.gaussian_blur(h, 4.0),
+        bitwise=False,
+    )
+
+
+def test_sharded_steepest(mesh, height):
+    _assert_same(par.ops.steepest(height, soil.d8, mesh=mesh),
+                 soil.steepest(height, soil.d8))
+    _assert_same(par.ops.steepest(height, soil.d4, mesh=mesh),
+                 soil.steepest(height, soil.d4))
+
+
+def test_sharded_direction(mesh, height):
+    _assert_same(par.ops.direction(height, soil.d8, mesh=mesh),
+                 soil.direction(height, soil.d8))
+
+
+def test_sharded_random_weighted(mesh, height):
+    """Same (seed, offset) -> same global draw -> identical graph."""
+    got = par.ops.random_weighted(height, soil.d8, seed=5, offset=9, T=2.0,
+                                  mesh=mesh)
+    want = soil.random_weighted(height, soil.d8, seed=5, offset=9, T=2.0)
+    _assert_same(got, want)
+
+
+def test_sharded_solve_uniform(mesh):
+    key = jax.random.PRNGKey(1)
+    W, H = 32, 48
+    flow = jax.random.normal(key, (W, H, 2), jnp.float32)
+    source = jnp.abs(jax.random.normal(jax.random.fold_in(key, 1), (W, H)))
+    decay = jnp.full((W, H), 0.05, jnp.float32)
+    got = par.ops.solve_uniform(flow, source, decay, SCALE2, mesh=mesh,
+                                iterations=40)
+    want = soil.solve_uniform(flow, source, decay, SCALE2, method="field",
+                              iterations=40)
+    _assert_same(got, want, bitwise=False)
+
+
+def test_accumulate_gspmd(mesh, height):
+    """Global pointer-doubling accumulation on sharded inputs (GSPMD)."""
+    flow = soil.steepest(height, soil.d8)
+    rain = jnp.ones_like(height)
+    want = soil.accumulate(flow, rain, soil.d8)
+    flow_s = par.shard_field(flow, mesh)
+    rain_s = par.shard_field(rain, mesh)
+    got = jax.jit(lambda f, r: soil.accumulate(f, r, soil.d8))(flow_s, rain_s)
+    _assert_same(got, want, bitwise=False)
+
+
+def test_sharded_erosion_step_matches_single_device(mesh):
+    """The north-star parity property: one coupled erosion step, sharded
+    over 8 devices, equals the single-device step."""
+    W, H = 32, 48
+    key = jax.random.PRNGKey(0)
+    hgt = 2.0 + 0.5 * jax.random.normal(key, (W, H), jnp.float32)
+    state = soil.ErosionState.zeros((W, H), height=hgt)
+    param = soil.ErosionParams()
+    param.transportIterations = 12
+    scale = (0.08, 0.08, 4.0)
+
+    k = jax.random.PRNGKey(42)
+    want = soil.erode(state, scale, param, steps=2, key=k)
+
+    got = par.sharded_erode(state, mesh, scale, param, steps=2, key=k)
+
+    for f in ("layers", "discharge", "mass", "momentum", "debris",
+              "debris_momentum", "albedo_surface"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
+            rtol=1e-4, atol=1e-5, err_msg=f,
+        )
+
+
+def test_sharded_erosion_actually_sharded(mesh):
+    """The output really is block-decomposed on the mesh (not replicated)."""
+    W, H = 32, 48
+    state = soil.ErosionState.zeros((W, H), height=jnp.ones((W, H)))
+    param = soil.ErosionParams()
+    param.transportIterations = 4
+    got = par.sharded_erode(state, mesh, (0.1, 0.1, 1.0), param, steps=1)
+    shard_shapes = {s.data.shape for s in got.discharge.addressable_shards}
+    assert shard_shapes == {(W // 2, H // 4)}
