@@ -20,22 +20,21 @@ import jax
 import jax.numpy as jnp
 
 
-def measure_stream_bw(n_bytes=1 << 28):
-    """Achievable HBM bandwidth via y = 2x + 1 (read + write per element)."""
+def measure_stream_bw(n_bytes=1 << 28, reps=50):
+    """Achievable HBM bandwidth via y = ax + b, `reps` iterations inside ONE
+    compiled loop (per-dispatch tunnel latency would otherwise dominate)."""
     n = n_bytes // 4
     x = jnp.arange(n, dtype=jnp.float32)
 
     @jax.jit
-    def saxpy(x):
-        return 2.0 * x + 1.0
+    def loop(x):
+        return jax.lax.fori_loop(
+            0, reps, lambda i, y: y * 1.0000001 + 0.001, x
+        )
 
-    _sync(saxpy(x))
+    _sync(loop(x))
     t0 = time.perf_counter()
-    reps = 10
-    y = x
-    for _ in range(reps):
-        y = saxpy(y)
-    _sync(y)
+    _sync(loop(x))
     dt = time.perf_counter() - t0
     return reps * 2 * n * 4 / dt  # bytes/s (read + write)
 
@@ -49,14 +48,23 @@ def _sync(x):
 
 
 def step_bytes_per_cell(iters: int) -> float:
-    """Minimum HBM traffic per cell per coupled step, assuming perfect
-    fusion: each transport round streams G (read+write) + loop-invariant
-    att, E, dirs reads; fluvial carries 7 channels, debris 6; plus ~40
-    float32 field touches for terms/normalize/transfer/creep."""
-    fluvial = iters * (7 + 7 + 7 + 7 + 2) * 4
-    debris = iters * (6 + 6 + 6 + 6 + 2) * 4
+    """Minimum HBM traffic per cell per coupled step with the temporally-
+    blocked Pallas sweep (ops/sweep.py, K=16 rounds per HBM pass): each
+    pass reads G/E/att windows (+vx, vy), re-pads and writes G; fluvial
+    carries 7 channels, debris 6; plus ~40 float32 field touches for
+    terms/normalize/transfer/creep."""
+    from soillib_tpu.ops.sweep import HALO_K
+
+    passes = -(-iters // HALO_K)
+
+    def transport(C):
+        per_pass = (3 * C + 2) * 4        # window reads
+        per_pass += C * 4                 # G write-back
+        per_pass += 2 * C * 4             # G re-pad copy (read + write)
+        return passes * per_pass
+
     rest = 40 * 4
-    return fluvial + debris + rest
+    return transport(7) + transport(6) + rest
 
 
 def main():

@@ -45,6 +45,7 @@ from soillib_tpu.ops.graph import (
     upstream_distance,
 )
 from soillib_tpu.ops.noise import noise, noise_t
+from soillib_tpu.ops.condition import condition, fill_depressions
 from soillib_tpu.ops.resize import resize, copy
 from soillib_tpu.ops.transport import solve_uniform
 from soillib_tpu.models.params import ErosionParams, param_t
@@ -59,6 +60,7 @@ from soillib_tpu.models.erosion import (
     transport_fluvial,
 )
 from soillib_tpu.models.simulation import ErosionState, ErosionSim, erode, make_erode_fn
+from soillib_tpu.models.multiscale import level_scale, resize_state, run_cascade
 from soillib_tpu.io.tiff import tiff
 from soillib_tpu.io.geotiff import geotiff, geotiff_meta
 from soillib_tpu.io.mesh import mesh
@@ -79,6 +81,7 @@ __all__ = [
     "steepest", "direction", "random_weighted", "slope",
     "accumulate", "accumulate_decay", "upstream_mask", "upstream_distance",
     "noise", "noise_t",
+    "condition", "fill_depressions",
     "resize", "copy",
     "solve_uniform",
     "ErosionParams", "param_t",
@@ -86,6 +89,7 @@ __all__ = [
     "mass_transfer", "mass_creep", "layer_merge",
     "albedo_stratum", "albedo_layer", "albedo_discharge",
     "ErosionState", "ErosionSim", "erode", "make_erode_fn",
+    "level_scale", "resize_state", "run_cascade",
     "tiff", "geotiff", "geotiff_meta", "mesh",
     "util",
 ]

@@ -52,6 +52,14 @@ class Halo:
         for ops that emit global flat indices (the receiver graphs)."""
         raise NotImplementedError
 
+    def run_transport(self, E, att, dirs, iters: int):
+        """`iters` rounds of the upwind transport fixed point
+        G <- PUSH(att * (E + G)) with channel-FIRST E, att (C, W, H).
+        Single-device: the temporally-blocked Pallas sweep on TPU (one HBM
+        pass per 16 rounds, ops/sweep.py). Sharded: per-round ppermute
+        payload exchange."""
+        raise NotImplementedError
+
 
 class NoHalo(Halo):
     """Single-device: identity pad/crop; push is the plain upwind operator."""
@@ -69,6 +77,11 @@ class NoHalo(Halo):
 
     def global_offsets(self, block_shape):
         return 0, 0, int(block_shape[0]), int(block_shape[1])
+
+    def run_transport(self, E, att, dirs, iters: int):
+        from soillib_tpu.ops import sweep
+
+        return sweep.run_transport(E, att, dirs, iters)
 
 
 NO_HALO = NoHalo()

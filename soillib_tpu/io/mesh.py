@@ -13,6 +13,23 @@ import struct
 import numpy as np
 
 
+def _native_triangulate(h, scale):
+    """C++ triangulation (soillib_tpu.native); None falls back to numpy."""
+    try:
+        from soillib_tpu import native
+    except ImportError:
+        return None
+    return native.triangulate(np.asarray(h, np.float32), scale)
+
+
+def _native_ply(path, vertices, faces, binary):
+    try:
+        from soillib_tpu import native
+    except ImportError:
+        return False
+    return native.ply_write(path, vertices, faces, binary)
+
+
 class mesh:
     def __init__(self, tensor=None, scale=(1.0, 1.0, 1.0)):
         self.vertices = np.zeros((0, 3), np.float32)
@@ -21,6 +38,10 @@ class mesh:
             self._triangulate(np.asarray(tensor, np.float32), scale)
 
     def _triangulate(self, h: np.ndarray, scale):
+        out = _native_triangulate(h, scale)
+        if out is not None:
+            self.vertices, self.faces = out
+            return
         W, H = h.shape
         sx, sy, sz = float(scale[0]), float(scale[1]), float(scale[2])
 
@@ -72,6 +93,8 @@ class mesh:
 
     def write_binary(self, filename: str) -> bool:
         """Binary little-endian PLY."""
+        if _native_ply(filename, self.vertices, self.faces, binary=True):
+            return True
         with open(filename, "wb") as f:
             f.write(self._header(ascii=False).encode("ascii"))
             f.write(self.vertices.astype("<f4").tobytes())

@@ -137,10 +137,21 @@ def _decompress(data: bytes, compression: int, expected: int) -> bytes:
     if compression in (8, 32946):  # Deflate / old deflate
         return zlib.decompress(data)
     if compression == 5:
-        return _unpack_lzw(data)
+        out = _native_decode("lzw_decode", data, expected)
+        return out if out is not None else _unpack_lzw(data)
     if compression == 32773:
-        return _unpack_packbits(data, expected)
+        out = _native_decode("packbits_decode", data, expected)
+        return out if out is not None else _unpack_packbits(data, expected)
     raise ValueError(f"unsupported TIFF compression: {compression}")
+
+
+def _native_decode(fn: str, data: bytes, expected: int):
+    """C++ fast path (soillib_tpu.native); None falls back to Python."""
+    try:
+        from soillib_tpu import native
+    except ImportError:
+        return None
+    return getattr(native, fn)(data, expected)
 
 
 class TiffInfo:

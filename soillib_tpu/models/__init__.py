@@ -11,3 +11,4 @@ from soillib_tpu.models.erosion import (
     albedo_discharge,
 )
 from soillib_tpu.models.simulation import ErosionState, ErosionSim, erode, make_erode_fn
+from soillib_tpu.models.multiscale import level_scale, resize_state, run_cascade

@@ -192,7 +192,8 @@ def transport_fluvial(
 
     if method == "field":
         iters = iterations or (p.transportIterations or p.maxage)
-        G = _fluvial_field(t, discharge, p, iters, halo)
+        Gcf = _fluvial_field(t, discharge, p, iters, halo)
+        G = jnp.moveaxis(Gcf, 0, -1)
     elif method == "particles":
         if halo is not NO_HALO:
             raise NotImplementedError(
@@ -230,7 +231,12 @@ def _3len(a):
 
 
 def _fluvial_field(t, discharge, p, iters, halo=NO_HALO):
-    """Deterministic upwind fixed point of the fluvial transport operator."""
+    """Deterministic upwind fixed point of the fluvial transport operator.
+
+    Returns the flux tensor channel-FIRST, (7, W, H) = (water, mass, vel_x,
+    vel_y, albedo_rgb), solved by `halo.run_transport` — the temporally-
+    blocked Pallas sweep on a single TPU (ops/sweep.py), the per-round
+    ppermute exchange under shard_map."""
     speed = t["speed"]
     v_norm = _length(speed)
     alive = v_norm >= _EPS
@@ -246,19 +252,14 @@ def _fluvial_field(t, discharge, p, iters, halo=NO_HALO):
         alive, jnp.exp(-dL * 0.125 * t["fD"] / (_EPS + discharge)), 0.0
     )
 
-    E = jnp.concatenate(
-        [t["E_w"][..., None], t["E_m"][..., None], t["E_v"], t["E_a"]], axis=-1
+    E = jnp.stack(
+        [t["E_w"], t["E_m"], t["E_v"][..., 0], t["E_v"][..., 1],
+         t["E_a"][..., 0], t["E_a"][..., 1], t["E_a"][..., 2]], axis=0
     )
     att = jnp.stack(
-        [att_w, att_m, att_v, att_v, att_m, att_m, att_m], axis=-1
+        [att_w, att_m, att_v, att_v, att_m, att_m, att_m], axis=0
     )
-
-    push = halo.make_push(dirs)
-
-    def body(_, G):
-        return push(att * (E + G))
-
-    return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(E))
+    return halo.run_transport(E, att, dirs, iters)
 
 
 def _fluvial_particles(
@@ -465,15 +466,12 @@ def transport_debris(
         att_d = jnp.where(alive, factor_d, 0.0)
         att_v = jnp.where(alive, jnp.exp(-dL * (nu + tau / debrisHeight)), 0.0)
 
-        E = jnp.concatenate([E_d[..., None], E_v, E_a], axis=-1)
-        att = jnp.stack([att_d, att_v, att_v, att_d, att_d, att_d], axis=-1)
-
-        push = halo.make_push(dirs)
-
-        def body(_, G):
-            return push(att * (E + G))
-
-        G = jax.lax.fori_loop(0, iters, body, jnp.zeros_like(E))
+        E = jnp.stack(
+            [E_d, E_v[..., 0], E_v[..., 1],
+             E_a[..., 0], E_a[..., 1], E_a[..., 2]], axis=0
+        )
+        att = jnp.stack([att_d, att_v, att_v, att_d, att_d, att_d], axis=0)
+        G = jnp.moveaxis(halo.run_transport(E, att, dirs, iters), 0, -1)
     elif method == "particles":
         if halo is not NO_HALO:
             raise NotImplementedError(

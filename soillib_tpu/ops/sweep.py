@@ -1,0 +1,285 @@
+"""Pallas TPU kernel: temporally-blocked upwind transport sweep.
+
+The transport fixed point iterates G <- PUSH(att * (E + G)) for `iters`
+rounds (ops/transport.py). As plain jnp, every round streams the full
+(C, W, H) payload through HBM (~120 B/cell/round) — the step is then pure
+HBM bandwidth. This kernel applies *temporal blocking*, the classic
+stencil-train optimization: each tile is loaded into VMEM once with a
+K-cell halo ring and advanced K rounds entirely on-chip before writing
+back, cutting HBM traffic by ~K×.
+
+Correctness argument (trapezoid rule): one upwind round propagates
+information exactly one cell. After k rounds, only window cells within k
+of the window edge are stale; keeping the tile interior (≥ K cells from
+every window edge) after K rounds reproduces K global rounds exactly.
+Cross-round wrap-around from `jnp.roll` only ever lands in the stale halo
+ring, so no masking is needed. Global boundaries are handled by zero
+pre-padding: vx = vy = 0 outside the domain means no emission, and outflow
+into the pad is dropped — identical to `upwind_push`'s lost-at-boundary
+semantics (path.cu:104).
+
+Layout & alignment: channel-FIRST (C, W, H) so the minor (lane) dim is
+spatial. Mosaic requires DMA slice offsets AND sizes aligned to the (8,
+128) tile in the last two dims, so:
+  * rows (sublanes): tile 240, window 256 = 240 + 2K  (240 and 256 % 8 == 0)
+  * cols (lanes):    tile 256, window *384* (the next 128-multiple above
+    256 + 2K = 272) loaded at offset j*256 — the first 272 columns are the
+    real window, the trailing 112 are in-bounds slack covered by the right
+    zero-pad; stale/slack values never reach the interior within K rounds.
+Outflow mask-weights are computed in-kernel from vx, vy (two fewer HBM
+streams than passing four masks).
+
+Ref: the MC trajectory loop this replaces is path.cu:52-139 /
+erosion.cu:29-141; same fixed point, TPU-native schedule.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HALO_K = 16           # rounds per HBM pass == halo width
+TILE_Y = 256          # output tile cols (lane dim; offsets stay 128-aligned)
+SX = 256              # row window (sublane dim; multiple of 8)
+SY = 384              # col window (128-aligned; TILE_Y + 2K <= SY required)
+TILE_X = SX - 2 * HALO_K          # output tile rows
+_YPAD_R = SY - TILE_Y - HALO_K    # right zero-pad beyond the last tile
+assert TILE_Y + 2 * HALO_K <= SY and TILE_X % 8 == 0
+
+
+def _round_weights(vx, vy):
+    """Loop-invariant outflow mask-weights: payload leaving toward
+    +x/-x/+y/-y is payload * M_dir (|v̂x| : |v̂y| split, ops/transport.py)."""
+    ax, ay = jnp.abs(vx), jnp.abs(vy)
+    denom = ax + ay
+    denom = jnp.where(denom == 0.0, 1.0, denom)
+    wx, wy = ax / denom, ay / denom
+    z = jnp.zeros_like(wx)
+    return (
+        jnp.where(vx > 0, wx, z),
+        jnp.where(vx < 0, wx, z),
+        jnp.where(vy > 0, wy, z),
+        jnp.where(vy < 0, wy, z),
+    )
+
+
+def _sweep_kernel(rounds, C, gh, n_tiles,
+                  g_hbm, e_hbm, a_hbm, vx_hbm, vy_hbm,
+                  out_hbm,
+                  g_v, e_v, a_v, vx_v, vy_v, out_v, sems, out_sem):
+    """Double-buffered: tile t's 5 input windows are DMA'd into slot t%2
+    while tile t-1 computes; the interior write-back overlaps the next
+    tile's compute and is awaited one tile later (slot-alternating)."""
+    t = pl.program_id(0)
+    slot = jax.lax.rem(t, 2)
+
+    def in_dmas(s, ti):
+        ii = ti // gh
+        jj = jax.lax.rem(ti, gh)
+        x0 = ii * TILE_X
+        y0 = jj * TILE_Y
+        return [
+            pltpu.make_async_copy(
+                src.at[..., pl.ds(x0, SX), pl.ds(y0, SY)], dst.at[s],
+                sems.at[s, k],
+            )
+            for k, (src, dst) in enumerate(
+                [(g_hbm, g_v), (e_hbm, e_v), (a_hbm, a_v),
+                 (vx_hbm, vx_v), (vy_hbm, vy_v)]
+            )
+        ]
+
+    def out_dma(s, ti):
+        ii = ti // gh
+        jj = jax.lax.rem(ti, gh)
+        return pltpu.make_async_copy(
+            out_v.at[s],
+            out_hbm.at[:, pl.ds(ii * TILE_X, TILE_X),
+                       pl.ds(jj * TILE_Y, TILE_Y)],
+            out_sem.at[s],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        for c in in_dmas(0, 0):
+            c.start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        for c in in_dmas(1 - slot, t + 1):
+            c.start()
+
+    for c in in_dmas(slot, t):
+        c.wait()
+
+    e = e_v[slot]
+    a = a_v[slot]
+    mxp, mxn, myp, myn = _round_weights(vx_v[slot], vy_v[slot])
+    mxp, mxn = mxp[None], mxn[None]
+    myp, myn = myp[None], myn[None]
+
+    def body(_, g):
+        payload = a * (e + g)
+        return (
+            jnp.roll(payload * mxp, 1, axis=1)
+            + jnp.roll(payload * mxn, -1, axis=1)
+            + jnp.roll(payload * myp, 1, axis=2)
+            + jnp.roll(payload * myn, -1, axis=2)
+        )
+
+    g = jax.lax.fori_loop(0, rounds, body, g_v[slot])
+
+    # Wait for the write-back issued two tiles ago before reusing its slot.
+    @pl.when(t >= 2)
+    def _():
+        out_dma(slot, t - 2).wait()
+
+    # Interior selected as a *value* slice (vector relayout) — a ref slice
+    # at lane offset HALO_K would break the 128-alignment DMA rule.
+    out_v[slot] = g[:, HALO_K:HALO_K + TILE_X, HALO_K:HALO_K + TILE_Y]
+    out_dma(slot, t).start()
+
+    # Drain: the final tile waits for its own write-back and (when it
+    # exists) the previous tile's still-in-flight one.
+    @pl.when(t + 1 >= n_tiles)
+    def _():
+        out_dma(slot, t).wait()
+
+    if n_tiles >= 2:
+        @pl.when(t + 1 == n_tiles)
+        def _():
+            out_dma(1 - slot, t - 1).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("rounds", "grid_wh", "interpret"))
+def _sweep_call(Gp, Ep, Ap, Vx, Vy, *, rounds, grid_wh, interpret):
+    C = Gp.shape[0]
+    gw, gh = grid_wh
+    n_tiles = gw * gh
+    kernel = functools.partial(_sweep_kernel, rounds, C, gh, n_tiles)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[any_spec] * 5,
+        out_specs=any_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (C, gw * TILE_X, gh * TILE_Y), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, SX, SY), jnp.float32),   # G windows
+            pltpu.VMEM((2, C, SX, SY), jnp.float32),   # E windows
+            pltpu.VMEM((2, C, SX, SY), jnp.float32),   # att windows
+            pltpu.VMEM((2, SX, SY), jnp.float32),      # vx windows
+            pltpu.VMEM((2, SX, SY), jnp.float32),      # vy windows
+            pltpu.VMEM((2, C, TILE_X, TILE_Y), jnp.float32),  # aligned out
+            pltpu.SemaphoreType.DMA((2, 5)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(Gp, Ep, Ap, Vx, Vy)
+
+
+def transport_advance(G0, E, att, dirs, iters: int, *, interpret: bool = False):
+    """`iters` rounds of G <- PUSH(att * (E + G)) from an arbitrary G0.
+
+    Args:
+      G0:   (C, W, H) initial inflow state (zeros for a fresh solve).
+      E:    (C, W, H) per-cell emission (channel-first).
+      att:  (C, W, H) per-cell, per-channel attenuation.
+      dirs: (W, H, 2) unit flow directions.
+      iters: number of rounds (static).
+      interpret: run the Pallas interpreter (CPU testing).
+    Returns:
+      (C, W, H) accumulated inflow G, matching `iters` iterations of
+      `upwind_push` to float32 roundoff.
+    """
+    C, W, H = E.shape
+    K = HALO_K
+    gw = -(-W // TILE_X)
+    gh = -(-H // TILE_Y)
+    Wp, Hp = gw * TILE_X, gh * TILE_Y
+
+    def pad3(x):
+        return jnp.pad(x, ((0, 0), (K, Wp - W + K), (K, Hp - H + _YPAD_R)))
+
+    def pad2(x):
+        return jnp.pad(x, ((K, Wp - W + K), (K, Hp - H + _YPAD_R)))
+
+    Ep, Ap = pad3(E), pad3(att)
+    Vx = pad2(dirs[..., 0])
+    Vy = pad2(dirs[..., 1])
+
+    G = jnp.pad(jnp.asarray(G0, jnp.float32),
+                ((0, 0), (0, Wp - W), (0, Hp - H)))
+    n_full, rem = divmod(int(iters), K)
+    for _ in range(n_full):
+        Gp = jnp.pad(G, ((0, 0), (K, K), (K, _YPAD_R)))
+        G = _sweep_call(Gp, Ep, Ap, Vx, Vy,
+                        rounds=K, grid_wh=(gw, gh), interpret=interpret)
+    if rem:
+        Gp = jnp.pad(G, ((0, 0), (K, K), (K, _YPAD_R)))
+        G = _sweep_call(Gp, Ep, Ap, Vx, Vy,
+                        rounds=rem, grid_wh=(gw, gh), interpret=interpret)
+    return G[:, :W, :H]
+
+
+def transport_sweep(E, att, dirs, iters: int, *, interpret: bool = False):
+    """`iters` rounds of G <- PUSH(att * (E + G)) from G = 0."""
+    return transport_advance(
+        jnp.zeros_like(E), E, att, dirs, iters, interpret=interpret
+    )
+
+
+def upwind_push_cf(payload, dirs):
+    """Channel-first reference implementation of one PUSH round (the jnp
+    fallback and the oracle the kernel is tested against)."""
+    mxp, mxn, myp, myn = _round_weights(dirs[..., 0], dirs[..., 1])
+
+    def shift_from(a, dx, dy):
+        pad = [(0, 0)] * (a.ndim - 2) + [(max(0, dx), max(0, -dx)),
+                                         (max(0, dy), max(0, -dy))]
+        ap = jnp.pad(a, pad)
+        W, H = a.shape[-2], a.shape[-1]
+        x0, y0 = max(0, -dx), max(0, -dy)
+        return ap[..., x0:x0 + W, y0:y0 + H]
+
+    return (
+        shift_from(payload * mxp[None], +1, 0)
+        + shift_from(payload * mxn[None], -1, 0)
+        + shift_from(payload * myp[None], 0, +1)
+        + shift_from(payload * myn[None], 0, -1)
+    )
+
+
+def transport_advance_reference(G0, E, att, dirs, iters: int):
+    """jnp fallback of `transport_advance`: one HBM pass per round."""
+    def body(_, G):
+        return upwind_push_cf(att * (E + G), dirs)
+
+    return jax.lax.fori_loop(0, iters, body, G0)
+
+
+def transport_sweep_reference(E, att, dirs, iters: int):
+    """jnp fallback: same fixed point, one HBM pass per round."""
+    return transport_advance_reference(jnp.zeros_like(E), E, att, dirs, iters)
+
+
+def use_pallas() -> bool:
+    """Route single-device transport through the Pallas kernel on TPU
+    (Mosaic); elsewhere (CPU tests) fall back to the jnp implementation."""
+    return jax.default_backend() == "tpu"
+
+
+def run_transport(E, att, dirs, iters: int):
+    """Backend-dispatched `iters`-round transport solve (channel-first)."""
+    if use_pallas():
+        return transport_sweep(E, att, dirs, iters)
+    return transport_sweep_reference(E, att, dirs, iters)

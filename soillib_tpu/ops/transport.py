@@ -171,15 +171,12 @@ def _solve_field(flow, source, decay, scale, iterations, halo=NO_HALO):
     att = jnp.where(v_len > 0.0, jnp.exp(-dlam * decay), 0.0)
 
     emit = A * source  # expected per-cell source emission [X*m^D/s]
-    attc = att[..., None] if source.ndim == 3 else att
 
-    push = halo.make_push(dirs)
-
-    def body(_, G):
-        return push(attc * (emit + G))
-
-    G = jax.lax.fori_loop(0, iterations, body, jnp.zeros_like(source))
-    return G
+    # Channel-first solve (TPU Pallas sweep / sharded ppermute; sweep.py).
+    E = jnp.moveaxis(emit, -1, 0) if source.ndim == 3 else emit[None]
+    attc = jnp.broadcast_to(att[None], E.shape)
+    G = halo.run_transport(E, attc, dirs, iterations)
+    return jnp.moveaxis(G, 0, -1) if source.ndim == 3 else G[0]
 
 
 def _solve_particles(flow, source, decay, scale, count, key, maxstep):

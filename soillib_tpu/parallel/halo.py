@@ -107,3 +107,64 @@ class ShardHalo(Halo):
         x0 = lax.axis_index(self.ax_name) * bw
         y0 = lax.axis_index(self.ay_name) * bh
         return x0, y0, bw * self.px, bh * self.py
+
+    def pad_cf(self, arr, fill, radius: int = 1):
+        """Pad the LAST two (spatial) dims — channel-first layout."""
+        arr = exchange_axis(
+            arr, self.ax_name, self.px, arr.ndim - 2, fill, radius
+        )
+        return exchange_axis(
+            arr, self.ay_name, self.py, arr.ndim - 1, fill, radius
+        )
+
+    def crop_cf(self, arr, radius: int = 1):
+        r = radius
+        return arr[..., r:-r, r:-r]
+
+    def run_transport(self, E, att, dirs, iters: int):
+        """Temporally-blocked distributed transport: one K-wide halo
+        exchange over ICI per K rounds, with the K rounds advanced
+        entirely block-locally (the Pallas sweep on TPU, the jnp fixed
+        point elsewhere). The communication amortization mirrors the HBM
+        amortization of ops/sweep.py — same trapezoid correctness
+        argument, applied at the block boundary.
+
+        Falls back to a per-round 1-cell exchange when blocks are
+        narrower than K."""
+        from soillib_tpu.ops import sweep as S
+
+        K = S.HALO_K
+        bw, bh = E.shape[-2], E.shape[-1]
+        if bw < K or bh < K:
+            return self._run_transport_per_round(E, att, dirs, iters)
+
+        Ep = self.pad_cf(E, 0.0, K)
+        attp = self.pad_cf(att, 0.0, K)
+        dirs_p = self.pad(dirs, 0.0, K)
+
+        advance = (
+            S.transport_advance if S.use_pallas()
+            else S.transport_advance_reference
+        )
+
+        G = jnp.zeros_like(E)
+        n_full, rem = divmod(int(iters), K)
+        for _ in range(n_full):
+            Gp = self.pad_cf(G, 0.0, K)
+            G = self.crop_cf(advance(Gp, Ep, attp, dirs_p, K), K)
+        if rem:
+            Gp = self.pad_cf(G, 0.0, K)
+            G = self.crop_cf(advance(Gp, Ep, attp, dirs_p, rem), K)
+        return G
+
+    def _run_transport_per_round(self, E, att, dirs, iters: int):
+        """Per-round payload halo exchange (1-cell ppermute per round)."""
+        from soillib_tpu.ops.sweep import upwind_push_cf
+
+        dirs_p = self.pad(dirs, 0.0)
+
+        def body(_, G):
+            payload = self.pad_cf(att * (E + G), 0.0)
+            return self.crop_cf(upwind_push_cf(payload, dirs_p))
+
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(E))

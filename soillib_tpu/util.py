@@ -62,7 +62,15 @@ def _plt():
     return plt
 
 
-def plot_area(area, show=True):
+def _finish(plt, show, save):
+    """Common tail of every plot helper: optional savefig + show."""
+    if save:
+        plt.savefig(save, dpi=120, bbox_inches="tight")
+    if show and not save:
+        plt.show()
+
+
+def plot_area(area, show=True, save=None):
     plt = _plt()
     from matplotlib import colors
 
@@ -77,37 +85,33 @@ def plot_area(area, show=True):
     )
     plt.colorbar(im, ax=ax, label="Upstream Cells")
     plt.tight_layout()
-    if show:
-        plt.show()
+    _finish(plt, show, save)
     return fig
 
 
-def show_height(tensor, show=True):
+def show_height(tensor, show=True, save=None):
     plt = _plt()
     plt.imshow(np.asarray(tensor))
-    if show:
-        plt.show()
+    _finish(plt, show, save)
 
 
-def show_normal(tensor, scale=(1.0, 1.0, 1.0), show=True):
+def show_normal(tensor, scale=(1.0, 1.0, 1.0), show=True, save=None):
     plt = _plt()
     n = np.asarray(_normal(tensor, scale))
     plt.imshow(0.5 + 0.5 * n)
-    if show:
-        plt.show()
+    _finish(plt, show, save)
 
 
-def show_relief(tensor, scale=(1.0, 1.0, 1.0), show=True):
+def show_relief(tensor, scale=(1.0, 1.0, 1.0), show=True, save=None):
     plt = _plt()
     height = np.asarray(tensor)
     n = np.asarray(_normal(tensor, scale))
     relief = relief_shade(height, n)
     plt.imshow(relief, cmap="gray")
-    if show:
-        plt.show()
+    _finish(plt, show, save)
 
 
-def show_discharge(array, show=True):
+def show_discharge(array, show=True, save=None):
     plt = _plt()
     from matplotlib import colors
 
@@ -118,12 +122,11 @@ def show_discharge(array, show=True):
         norm=colors.LogNorm(1, max(float(np.nanmax(array)), 1.0 + 1e-6)),
         interpolation="none",
     )
-    if show:
-        plt.show()
+    _finish(plt, show, save)
     return fig
 
 
-def show_layers(layers, scale=(1.0, 1.0, 1.0), show=True):
+def show_layers(layers, scale=(1.0, 1.0, 1.0), show=True, save=None):
     """Sediment-colored relief. Ref: util.py:153-171."""
     plt = _plt()
     layers = np.asarray(layers)
@@ -135,17 +138,15 @@ def show_layers(layers, scale=(1.0, 1.0, 1.0), show=True):
     shaded[sediment >= 0.0001] *= [0.0, 1.0, 1.0]
     shaded[sediment < 0.0001] *= [1.0, 0.0, 0.0]
     plt.imshow(shaded, interpolation="bilinear")
-    if show:
-        plt.show()
+    _finish(plt, show, save)
 
 
-def plot_images(images, show=True):
+def plot_images(images, show=True, save=None):
     plt = _plt()
     K = len(images)
     fig, ax = plt.subplots(1, K, figsize=(8, 4))
     fig.patch.set_alpha(0)
     for k, img in enumerate(images):
         ax[k].imshow(np.asarray(img), zorder=2, cmap="CMRmap", interpolation="bilinear")
-    if show:
-        plt.show()
+    _finish(plt, show, save)
     return fig

@@ -192,3 +192,39 @@ def test_sharded_erosion_actually_sharded(mesh):
     got = par.sharded_erode(state, mesh, (0.1, 0.1, 1.0), param, steps=1)
     shard_shapes = {s.data.shape for s in got.discharge.addressable_shards}
     assert shard_shapes == {(W // 2, H // 4)}
+
+
+def test_sharded_transport_kblocked(mesh):
+    """Blocks wider than HALO_K take the temporally-blocked exchange path
+    (one K-halo ppermute per K rounds) — must match single-device."""
+    from soillib_tpu.ops.sweep import HALO_K
+    W, H = 64, 96  # blocks (32, 24) on the (2, 4) mesh: >= HALO_K
+    assert W // 2 >= HALO_K and H // 4 >= HALO_K
+    key = jax.random.PRNGKey(2)
+    flow = jax.random.normal(key, (W, H, 2), jnp.float32)
+    source = jnp.abs(jax.random.normal(jax.random.fold_in(key, 1), (W, H)))
+    decay = jnp.full((W, H), 0.05, jnp.float32)
+    got = par.ops.solve_uniform(flow, source, decay, SCALE2, mesh=mesh,
+                                iterations=40)
+    want = soil.solve_uniform(flow, source, decay, SCALE2, method="field",
+                              iterations=40)
+    _assert_same(got, want, bitwise=False)
+
+
+def test_sharded_erosion_kblocked(mesh):
+    """Full erosion step through the K-blocked transport exchange."""
+    W, H = 64, 96
+    key = jax.random.PRNGKey(0)
+    hgt = 2.0 + 0.5 * jax.random.normal(key, (W, H), jnp.float32)
+    state = soil.ErosionState.zeros((W, H), height=hgt)
+    param = soil.ErosionParams()
+    param.transportIterations = 20  # K + remainder path
+    scale = (0.08, 0.08, 4.0)
+    k = jax.random.PRNGKey(42)
+    want = soil.erode(state, scale, param, steps=1, key=k)
+    got = par.sharded_erode(state, mesh, scale, param, steps=1, key=k)
+    for f in ("layers", "discharge", "mass", "momentum", "debris"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
+            rtol=1e-4, atol=1e-5, err_msg=f,
+        )

@@ -1,0 +1,82 @@
+"""Pallas transport-sweep kernel vs the jnp fixed-point oracle.
+
+Runs the kernel through the Pallas interpreter on CPU (conftest forces the
+cpu platform); the compiled TPU path is exercised by bench.py and the
+verify flow. Temporal blocking must reproduce the per-round global
+iteration exactly (trapezoid-rule halo argument, ops/sweep.py docstring).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from soillib_tpu.ops.sweep import (
+    transport_sweep,
+    transport_sweep_reference,
+    upwind_push_cf,
+)
+from soillib_tpu.ops.transport import upwind_push
+
+
+def _problem(key, C, W, H):
+    k1, k2, k3 = jax.random.split(key, 3)
+    E = jnp.abs(jax.random.normal(k1, (C, W, H)))
+    att = jax.random.uniform(k2, (C, W, H), minval=0.3, maxval=0.99)
+    d = jax.random.normal(k3, (W, H, 2))
+    dirs = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-30)
+    return E, att, dirs
+
+
+def test_push_cf_matches_channel_last():
+    """upwind_push_cf (kernel layout) == upwind_push (public layout)."""
+    E, att, dirs = _problem(jax.random.PRNGKey(3), 4, 40, 56)
+    payload = att * E
+    want = upwind_push(jnp.moveaxis(payload, 0, -1), dirs)
+    got = jnp.moveaxis(upwind_push_cf(payload, dirs), 0, -1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("iters", [1, 8, 16, 23])
+def test_sweep_matches_reference_small(iters):
+    """Single-tile grid (domain smaller than a tile)."""
+    E, att, dirs = _problem(jax.random.PRNGKey(0), 3, 64, 80)
+    want = transport_sweep_reference(E, att, dirs, iters)
+    got = transport_sweep(E, att, dirs, iters, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-6, atol=1e-5
+    )
+
+
+def test_sweep_matches_reference_multitile():
+    """Several tiles in both dims + a remainder-rounds call (iters=19)."""
+    E, att, dirs = _problem(jax.random.PRNGKey(1), 2, 300, 280)
+    want = transport_sweep_reference(E, att, dirs, 19)
+    got = transport_sweep(E, att, dirs, 19, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-6, atol=1e-5
+    )
+
+
+def test_sweep_zero_flow_is_zero():
+    """Dead cells (zero direction) neither emit nor receive."""
+    W = H = 48
+    E = jnp.ones((1, W, H))
+    att = jnp.full((1, W, H), 0.9)
+    dirs = jnp.zeros((W, H, 2))
+    got = transport_sweep(E, att, dirs, 8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), 0.0)
+
+
+def test_sweep_outflow_lost_at_boundary():
+    """Uniform +x flow: mass leaves the domain, never wraps around."""
+    W = H = 40
+    E = jnp.ones((1, W, H))
+    att = jnp.ones((1, W, H))
+    dirs = jnp.stack([jnp.ones((W, H)), jnp.zeros((W, H))], axis=-1)
+    got = np.asarray(transport_sweep(E, att, dirs, 8, interpret=True))
+    want = np.asarray(transport_sweep_reference(E, att, dirs, 8))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # Row x receives sum of E from rows x-8..x-1 -> row 0 gets nothing.
+    assert got[0, 0].max() == 0.0
+    np.testing.assert_allclose(got[0, -1], 8.0, rtol=1e-6)
