@@ -31,7 +31,8 @@ from soillib_tpu.core.grid import (
     unflatten,
     oob,
 )
-from soillib_tpu.core.timer import timer, us, ms, s, ns
+from soillib_tpu.core.timer import timer, profile, us, ms, s, ns
+from soillib_tpu.core import metrics, morton
 from soillib_tpu.ops.stencil import gradient, negslope, laplacian, normal
 from soillib_tpu.ops.filter import gaussian_blur
 from soillib_tpu.ops.graph import (
@@ -65,6 +66,7 @@ from soillib_tpu.io.tiff import tiff
 from soillib_tpu.io.geotiff import geotiff, geotiff_meta
 from soillib_tpu.io.mesh import mesh
 from soillib_tpu import util
+from soillib_tpu import silt
 
 # Reference-compatible edge-connectivity enumerators (graph.hpp:11-14).
 d4 = D4
@@ -75,7 +77,8 @@ __version__ = "0.1.0"
 __all__ = [
     "D4", "D8", "d4", "d8", "D4_SHIFTS", "D8_SHIFTS",
     "Shape", "flatten", "unflatten", "oob",
-    "timer", "ns", "us", "ms", "s",
+    "timer", "profile", "ns", "us", "ms", "s",
+    "metrics", "morton", "silt",
     "gradient", "negslope", "laplacian", "normal",
     "gaussian_blur",
     "steepest", "direction", "random_weighted", "slope",

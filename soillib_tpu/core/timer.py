@@ -60,3 +60,26 @@ class timer:
     def elapsed(self) -> float:
         """Elapsed time in seconds (float; extension over the reference)."""
         return self._elapsed
+
+
+class profile:
+    """XLA-level profiling (SURVEY.md §5: the reference has only the
+    stopwatch; here `jax.profiler` traces give per-kernel HBM/FLOP
+    timelines viewable in TensorBoard/Perfetto):
+
+        with soil.profile("/tmp/trace"):
+            state = step(state, key)
+            jax.block_until_ready(state)
+    """
+
+    def __init__(self, logdir: str):
+        self.logdir = logdir
+
+    def __enter__(self):
+        jax.profiler.start_trace(self.logdir)
+        return self
+
+    def __exit__(self, *exc):
+        jax.effects_barrier()
+        jax.profiler.stop_trace()
+        return False

@@ -214,19 +214,60 @@ def _accumulate_doubling(graph, value, weight):
     return A.reshape(W, H)
 
 
-def accumulate(graph, value, edge: int = D8):
+def graph_to_slots(graph, edge: int = D8):
+    """Flat-index receiver graph -> neighbor-slot graph ((W, H) int32 of
+    slot indices 0..K-1, -1 at roots). Receivers are always one of the K
+    neighbors, so the conversion is a dense offset match."""
+    g = jnp.asarray(graph)
+    W, H = g.shape
+    n = jnp.arange(W * H, dtype=jnp.int32).reshape(W, H)
+    recv = jnp.where(g < 0, n, g)
+    dx = recv // H - n // H
+    dy = recv % H - n % H
+    slot = jnp.full((W, H), -1, jnp.int32)
+    for d, (sx, sy) in enumerate(shifts_for(edge)):
+        slot = jnp.where((dx == int(sx)) & (dy == int(sy)) & (g >= 0), d, slot)
+    return slot
+
+
+def _auto_method(method):
+    if method is not None:
+        return method
+    # Pointer-doubling is O(log N) random-access gathers — fast on CPU,
+    # pathological on TPU (serialized 1-D gathers). The dense one-hot
+    # stencil iteration (ops/graph_sweep.py) wins there by ~40x.
+    return "stencil" if jax.default_backend() == "tpu" else "doubling"
+
+
+def accumulate(graph, value, edge: int = D8, *, method: str = None,
+               max_iters: int = None):
     """Upstream accumulation: out[j] = value[j] + Σ_{i upstream of j} value[i].
-    Ref: graph.cu:527-584 (rake-compress; here pointer-doubling)."""
-    w = _edge_weights(jnp.asarray(graph), None, edge)
-    return _accumulate_doubling(jnp.asarray(graph), value, w)
+    Ref: graph.cu:527-584 (rake-compress; here pointer-doubling on CPU, a
+    dense one-hot stencil fixed point on TPU — see ops/graph_sweep.py)."""
+    g = jnp.asarray(graph)
+    if _auto_method(method) == "stencil":
+        from soillib_tpu.ops.graph_sweep import accumulate_stencil
+
+        return accumulate_stencil(
+            graph_to_slots(g, edge), value, None, edge, max_iters
+        )
+    w = _edge_weights(g, None, edge)
+    return _accumulate_doubling(g, value, w)
 
 
-def accumulate_decay(graph, source, decay, edge: int = D8):
+def accumulate_decay(graph, source, decay, edge: int = D8, *,
+                     method: str = None, max_iters: int = None):
     """Upstream accumulation with per-edge decay: each hop i -> recv[i]
     multiplies by decay[i] (donor cell), diagonals by decay[i]^1.414.
     Ref: graph.cu:586-593."""
     g = jnp.asarray(graph)
     w = _edge_weights(g, decay, edge)
+    if _auto_method(method) == "stencil":
+        from soillib_tpu.ops.graph_sweep import accumulate_stencil
+
+        return accumulate_stencil(
+            graph_to_slots(g, edge), source, w, edge, max_iters
+        )
     return _accumulate_doubling(g, source, w)
 
 

@@ -139,3 +139,24 @@ def test_upstream_mask_and_distance():
     np.testing.assert_array_equal(mask[:, 0], [True, True, True, False, False, False])
     dist = np.asarray(soil.upstream_distance(graph))
     np.testing.assert_array_equal(dist[:, 0], [2, 1, 0, 0, 1, 2])
+
+
+def test_accumulate_stencil_matches_doubling():
+    """The TPU stencil formulation == pointer-doubling == oracle."""
+    import jax
+    import jax.numpy as jnp
+    import soillib_tpu as soil
+    key = jax.random.PRNGKey(9)
+    h = jax.random.normal(key, (24, 32)) * 5.0
+    rain = jnp.abs(jax.random.normal(jax.random.fold_in(key, 1), (24, 32)))
+    for edge in (soil.d4, soil.d8):
+        flow = soil.steepest(h, edge)
+        want = soil.accumulate(flow, rain, edge, method="doubling")
+        got = soil.accumulate(flow, rain, edge, method="stencil")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        decay = 0.95 + 0.04 * jax.random.uniform(key, (24, 32))
+        want = soil.accumulate_decay(flow, rain, decay, edge, method="doubling")
+        got = soil.accumulate_decay(flow, rain, decay, edge, method="stencil")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
