@@ -85,10 +85,15 @@ def godunov_gradient(height, scale, exit_slope, halo=NO_HALO):
     h0p = _shift(h, 0, +1, nan)
 
     def one_axis(hn, hp, s):
-        gn = (h - hn) * sz / s
-        gn = jnp.where(jnp.isnan(gn), exit_slope, jnp.maximum(gn, 0.0))
-        gp = (hp - h) * sz / s
-        gp = jnp.where(jnp.isnan(gp), -exit_slope, jnp.minimum(gp, 0.0))
+        # Double-where: substitute the missing neighbor BEFORE the
+        # arithmetic so reverse-mode cotangents never touch a NaN branch
+        # (where(p, c, f(NaN)) back-propagates 0 * NaN = NaN otherwise).
+        miss_n = jnp.isnan(hn)
+        miss_p = jnp.isnan(hp)
+        gn = (h - jnp.where(miss_n, h, hn)) * sz / s
+        gn = jnp.where(miss_n, exit_slope, jnp.maximum(gn, 0.0))
+        gp = (jnp.where(miss_p, h, hp) - h) * sz / s
+        gp = jnp.where(miss_p, -exit_slope, jnp.minimum(gp, 0.0))
         return jnp.where(jnp.abs(gp) > jnp.abs(gn), gp, gn)
 
     gx = one_axis(hn0, hp0, sx)
@@ -97,7 +102,24 @@ def godunov_gradient(height, scale, exit_slope, halo=NO_HALO):
 
 
 def _length(v):
-    return jnp.sqrt(v[..., 0] ** 2 + v[..., 1] ** 2)
+    """2-norm with a NaN-free gradient at 0 (d sqrt(0) is inf; the
+    double-where keeps the primal exact and the cotangent finite)."""
+    sq = v[..., 0] ** 2 + v[..., 1] ** 2
+    zero = sq == 0.0
+    return jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
+
+
+def _safe_pow(x, alpha):
+    """x**alpha for x >= 0 with a finite gradient at x == 0 (the reference
+    configs use alpha < 1, where d x^alpha at 0 is inf)."""
+    zero = x == 0.0
+    return jnp.where(zero, 0.0, jnp.power(jnp.where(zero, 1.0, x), alpha))
+
+
+def _masked_exp(alive, arg):
+    """where(alive, exp(arg), 0) with the argument itself masked, so huge
+    dead-cell exponents cannot leak NaN/inf into reverse mode."""
+    return jnp.where(alive, jnp.exp(jnp.where(alive, arg, 0.0)), 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -132,14 +154,14 @@ def _fluvial_terms(
     # Trajectory-initial speed (erosion.cu:75-79): normalized by sqrt(|L*v|).
     speed = -(g * grad) + nu * vel + force
     speed = speed / jnp.sqrt(
-        jnp.maximum(_length(Lvec[None, None, :] * speed), 1e-30)
+        jnp.maximum(_length(Lvec[None, None, :] * speed), _EPS)
     )[..., None]
 
     # Source terms (erosion.cu:83-91); Q normalization is absorbed: the
     # field method uses expected per-cell emissions E = A * source-rate.
     v = _length(vel)
     shear = 0.125 * fD * rho_w * v * v
-    power = jnp.power(jnp.maximum(shear * _length(grad), 0.0), alpha)
+    power = _safe_pow(jnp.maximum(shear * _length(grad), 0.0), alpha)
     E_m = A * ks * power
     E_w = A * R * rainfall
     E_v = A * (-(g * grad) + nu * vel)
@@ -221,7 +243,7 @@ def transport_fluvial(
 
     has_mass = (G_m > 0.0) & (_3len(G_a) > 0.0)
     albedo_out = jnp.where(
-        has_mass[..., None], G_a / jnp.maximum(G_m, 1e-30)[..., None], albedo_surface
+        has_mass[..., None], G_a / jnp.maximum(G_m, _EPS)[..., None], albedo_surface
     )
     return discharge_out, mass_out, momentum_out, albedo_out
 
@@ -240,17 +262,15 @@ def _fluvial_field(t, discharge, p, iters, halo=NO_HALO):
     speed = t["speed"]
     v_norm = _length(speed)
     alive = v_norm >= _EPS
-    dirs = speed / jnp.maximum(v_norm, 1e-30)[..., None]
+    dirs = speed / jnp.maximum(v_norm, _EPS)[..., None]
 
     step = stepsize_center(dirs)
     dL = step * t["Llen"]
-    ds = dL / jnp.maximum(v_norm, 1e-30)
+    ds = dL / jnp.maximum(v_norm, _EPS)
 
-    att_m = jnp.where(alive, jnp.exp(-ds * t["kd"]), 0.0)
-    att_w = jnp.where(alive, jnp.exp(-ds * p.evapRate), 0.0)
-    att_v = jnp.where(
-        alive, jnp.exp(-dL * 0.125 * t["fD"] / (_EPS + discharge)), 0.0
-    )
+    att_m = _masked_exp(alive, -ds * t["kd"])
+    att_w = _masked_exp(alive, -ds * p.evapRate)
+    att_v = _masked_exp(alive, -dL * 0.125 * t["fD"] / (_EPS + discharge))
 
     E = jnp.stack(
         [t["E_w"], t["E_m"], t["E_v"][..., 0], t["E_v"][..., 1],
@@ -317,7 +337,7 @@ def _fluvial_particles(
     grad0 = grad_at(ind)
     speed = -(g * grad0) + nu * vel0 + force
     speed = speed / jnp.sqrt(
-        jnp.maximum(_length(Lvec[None, :] * speed), 1e-30)
+        jnp.maximum(_length(Lvec[None, :] * speed), _EPS)
     )[:, None]
     alive = _length(speed) >= _EPS
 
@@ -356,10 +376,10 @@ def _fluvial_particles(
         v_norm = _length(speed)
         ok = v_norm >= _EPS
         alive = alive & ok
-        v_unit = speed / jnp.maximum(v_norm, 1e-30)[:, None]
+        v_unit = speed / jnp.maximum(v_norm, _EPS)[:, None]
         stp = stepsize(pos, v_unit)
         dL = stp * Llen
-        ds = dL / jnp.maximum(v_norm, 1e-30)
+        ds = dL / jnp.maximum(v_norm, _EPS)
 
         gradp = grad_at(ind)
         accel = -(g * gradp) + nu * mom_flat[ind] + force
@@ -438,7 +458,7 @@ def transport_debris(
     vel = momentum
     speed = -(g * grad) + nu * vel
     speed = speed / jnp.sqrt(
-        jnp.maximum(_length(Lvec[None, None, :] * speed), 1e-30)
+        jnp.maximum(_length(Lvec[None, None, :] * speed), _EPS)
     )[..., None]
 
     excess0 = _length(grad) - theta
@@ -451,10 +471,10 @@ def transport_debris(
         iters = iterations or (p.transportIterations or p.maxage)
         v_norm = _length(speed)
         alive = v_norm >= _EPS
-        dirs = speed / jnp.maximum(v_norm, 1e-30)[..., None]
+        dirs = speed / jnp.maximum(v_norm, _EPS)[..., None]
         step = stepsize_center(dirs)
         dL = step * Llen
-        ds = dL / jnp.maximum(v_norm, 1e-30)
+        ds = dL / jnp.maximum(v_norm, _EPS)
 
         # Yield-stress balance: the per-particle carried height is
         # approximated by the previous debris field (the same field-level
@@ -462,9 +482,10 @@ def transport_debris(
         debrisHeight = _EPS + mass
         excessStress = g * (excess0 - tau_y / debrisHeight)
         shearRate = jnp.where(excessStress < 0.0, kdd, kds)
-        factor_d = jnp.exp(ds * shearRate * excessStress / jnp.maximum(v_norm, 1e-30))
-        att_d = jnp.where(alive, factor_d, 0.0)
-        att_v = jnp.where(alive, jnp.exp(-dL * (nu + tau / debrisHeight)), 0.0)
+        att_d = _masked_exp(
+            alive, ds * shearRate * excessStress / jnp.maximum(v_norm, _EPS)
+        )
+        att_v = _masked_exp(alive, -dL * (nu + tau / debrisHeight))
 
         E = jnp.stack(
             [E_d, E_v[..., 0], E_v[..., 1],
@@ -492,7 +513,7 @@ def transport_debris(
     momentum_out = (A * source_v + G_v) / norm
     has_mass = (G_d > 0.0) & (_3len(G_a) > 0.0)
     albedo_out = jnp.where(
-        has_mass[..., None], G_a / jnp.maximum(G_d, 1e-30)[..., None], albedo_surface
+        has_mass[..., None], G_a / jnp.maximum(G_d, _EPS)[..., None], albedo_surface
     )
     return mass_out, momentum_out, albedo_out
 
@@ -535,7 +556,7 @@ def _debris_particles(layers, mass, momentum, albedo_surface, scale, p, key):
     grad0 = grad_flat[ind]
     speed = -(g * grad0) + nu * vel0
     speed = speed / jnp.sqrt(
-        jnp.maximum(_length(Lvec[None, :] * speed), 1e-30)
+        jnp.maximum(_length(Lvec[None, :] * speed), _EPS)
     )[:, None]
     alive = _length(speed) >= _EPS
 
@@ -570,10 +591,10 @@ def _debris_particles(layers, mass, momentum, albedo_surface, scale, p, key):
         v_norm = _length(speed)
         ok = v_norm >= _EPS
         alive = alive & ok
-        v_unit = speed / jnp.maximum(v_norm, 1e-30)[:, None]
+        v_unit = speed / jnp.maximum(v_norm, _EPS)[:, None]
         stp = stepsize(pos, v_unit)
         dL = stp * Llen
-        ds = dL / jnp.maximum(v_norm, 1e-30)
+        ds = dL / jnp.maximum(v_norm, _EPS)
 
         gradp = grad_flat[ind]
         debrisHeight = _EPS + att[:, 0] * source_d
@@ -585,7 +606,7 @@ def _debris_particles(layers, mass, momentum, albedo_surface, scale, p, key):
         excess = _length(gradp) - theta
         excessStress = g * (excess - tau_y / debrisHeight)
         shearRate = jnp.where(excessStress < 0.0, kdd, kds)
-        decay_d = ds * shearRate * excessStress / jnp.maximum(v_norm, 1e-30)
+        decay_d = ds * shearRate * excessStress / jnp.maximum(v_norm, _EPS)
         new_att = jnp.stack(
             [att[:, 0] * jnp.exp(decay_d), att[:, 1] * jnp.exp(-dL * decay)],
             axis=-1,
@@ -654,7 +675,7 @@ def mass_transfer(
     # Fluvial erosion (erosion.cu:496-506)
     v = _length(momentum)
     shear = 0.125 * fD * rho * v * v
-    power = jnp.power(jnp.maximum(shear * slope, 0.0), alpha)
+    power = _safe_pow(jnp.maximum(shear * slope, 0.0), alpha)
     suspend = kfs * power
     deposit = kfd * mass
     uplift_rate = ku * uplift
@@ -690,7 +711,7 @@ def mass_transfer(
     # Surface / transport albedo mixing (erosion.cu:549-572)
     totalHeight = mass + debrisHeight
     mixDepth = 1.0
-    wMass = jnp.minimum(mass / jnp.maximum(totalHeight, 1e-30), 1.0)
+    wMass = jnp.minimum(mass / jnp.maximum(totalHeight, _EPS), 1.0)
     colorTransport = jnp.minimum(
         1.0,
         wMass[..., None] * albedo_transport_fluvial

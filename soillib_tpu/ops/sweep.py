@@ -278,8 +278,31 @@ def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _diffable_sweep(E, att, dirs, iters):
+    """Pallas forward with a jnp reverse pass: the kernel has no AD rule,
+    so `jax.grad` through the erosion step replays the (mathematically
+    identical) per-round reference in the backward sweep."""
+    return transport_sweep(E, att, dirs, iters)
+
+
+def _diffable_fwd(E, att, dirs, iters):
+    return transport_sweep(E, att, dirs, iters), (E, att, dirs)
+
+
+def _diffable_bwd(iters, res, ct):
+    E, att, dirs = res
+    _, vjp = jax.vjp(
+        lambda e, a, d: transport_sweep_reference(e, a, d, iters), E, att, dirs
+    )
+    return vjp(ct)
+
+
+_diffable_sweep.defvjp(_diffable_fwd, _diffable_bwd)
+
+
 def run_transport(E, att, dirs, iters: int):
     """Backend-dispatched `iters`-round transport solve (channel-first)."""
     if use_pallas():
-        return transport_sweep(E, att, dirs, iters)
+        return _diffable_sweep(E, att, dirs, int(iters))
     return transport_sweep_reference(E, att, dirs, iters)

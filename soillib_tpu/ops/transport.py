@@ -64,12 +64,16 @@ def stepsize(pos, d):
 
 def stepsize_center(d):
     """`stepsize` evaluated at cell centers (pos frac = 0.5): the per-cell
-    mean crossing distance used by the field method."""
-    adx = jnp.abs(d[..., 0])
-    ady = jnp.abs(d[..., 1])
-    tx = jnp.minimum(0.5 / jnp.maximum(adx, 1e-30), _SQRT2)
-    ty = jnp.minimum(0.5 / jnp.maximum(ady, 1e-30), _SQRT2)
-    return 0.5 * (tx + ty)
+    mean crossing distance used by the field method.
+
+    The small-component branch is double-where'd: min(0.5/a, sqrt2) equals
+    sqrt2 exactly for a <= 0.5/sqrt2, and masking the division there keeps
+    reverse-mode free of 1/a^2 overflow (f32)."""
+    def axis(a):
+        capped = a <= 0.5 / _SQRT2
+        return jnp.where(capped, _SQRT2, 0.5 / jnp.where(capped, 1.0, a))
+
+    return 0.5 * (axis(jnp.abs(d[..., 0])) + axis(jnp.abs(d[..., 1])))
 
 
 def bilinear_gather(field, pos):
@@ -164,11 +168,12 @@ def _solve_field(flow, source, decay, scale, iterations, halo=NO_HALO):
     L = math.sqrt(float(scale[0]) ** 2 + float(scale[1]) ** 2)
 
     v_len = jnp.linalg.norm(flow, axis=-1)
-    safe = jnp.maximum(v_len, 1e-30)
+    alive = v_len > 0.0
+    safe = jnp.where(alive, v_len, 1.0)
     dirs = flow / safe[..., None]
     step = stepsize_center(dirs)
     dlam = step * L / safe
-    att = jnp.where(v_len > 0.0, jnp.exp(-dlam * decay), 0.0)
+    att = jnp.where(alive, jnp.exp(jnp.where(alive, -dlam * decay, 0.0)), 0.0)
 
     emit = A * source  # expected per-cell source emission [X*m^D/s]
 
