@@ -215,7 +215,6 @@ def transport_fluvial(
     if method == "field":
         iters = iterations or (p.transportIterations or p.maxage)
         Gcf = _fluvial_field(t, discharge, p, iters, halo)
-        G = jnp.moveaxis(Gcf, 0, -1)
     elif method == "particles":
         if halo is not NO_HALO:
             raise NotImplementedError(
@@ -225,27 +224,42 @@ def transport_fluvial(
             )
         if key is None:
             key = jax.random.PRNGKey(0)
-        G = _fluvial_particles(
-            layers, rainfall, discharge, momentum, albedo_surface, scale, p, key
+        Gcf = jnp.moveaxis(
+            _fluvial_particles(
+                layers, rainfall, discharge, momentum, albedo_surface,
+                scale, p, key,
+            ),
+            -1, 0,
         )
     else:
         raise ValueError(f"unknown transport method: {method!r}")
 
-    G_w, G_m, G_v, G_a = G[..., 0], G[..., 1], G[..., 2:4], G[..., 4:7]
+    # Unpack/normalize channel-FIRST; the (W, H, C) outputs are formed only
+    # at the return boundary — large channel-last intermediates otherwise
+    # tempt XLA into lane-padded (N*N, C) fusion layouts that OOM at 8192².
+    G_w, G_m = Gcf[0], Gcf[1]
+    G_vx, G_vy = Gcf[2], Gcf[3]
+    G_a = Gcf[4:7]
 
     # Normalization (erosion.cu:143-187). Fixed v=(1,0) -> norm = scale.y.
     norm = float(scale[1])
     A = t["A"]
-    source_v = -p.gravity * t["grad"] + t["force"][None, None, :]
+    grad = t["grad"]
+    force = t["force"]
+    sv_x = -p.gravity * grad[..., 0] + force[0]
+    sv_y = -p.gravity * grad[..., 1] + force[1]
     discharge_out = (A * p.rainfall * rainfall + G_w) / norm
     mass_out = G_m / norm
-    momentum_out = (A * source_v + G_v) / norm
-
-    has_mass = (G_m > 0.0) & (_3len(G_a) > 0.0)
-    albedo_out = jnp.where(
-        has_mass[..., None], G_a / jnp.maximum(G_m, _EPS)[..., None], albedo_surface
+    momentum_out = jnp.stack(
+        [(A * sv_x + G_vx) / norm, (A * sv_y + G_vy) / norm], axis=-1
     )
-    return discharge_out, mass_out, momentum_out, albedo_out
+
+    has_mass = (G_m > 0.0) & (jnp.sum(G_a * G_a, axis=0) > 0.0)
+    alb_cf = jnp.where(
+        has_mass[None], G_a / jnp.maximum(G_m, _EPS)[None],
+        jnp.moveaxis(albedo_surface, -1, 0),
+    )
+    return discharge_out, mass_out, momentum_out, jnp.moveaxis(alb_cf, 0, -1)
 
 
 def _3len(a):
@@ -492,7 +506,7 @@ def transport_debris(
              E_a[..., 0], E_a[..., 1], E_a[..., 2]], axis=0
         )
         att = jnp.stack([att_d, att_v, att_v, att_d, att_d, att_d], axis=0)
-        G = jnp.moveaxis(halo.run_transport(E, att, dirs, iters), 0, -1)
+        Gcf = halo.run_transport(E, att, dirs, iters)
     elif method == "particles":
         if halo is not NO_HALO:
             raise NotImplementedError(
@@ -500,22 +514,31 @@ def transport_debris(
             )
         if key is None:
             key = jax.random.PRNGKey(0)
-        G = _debris_particles(layers, mass, momentum, albedo_surface, scale, p, key)
+        Gcf = jnp.moveaxis(
+            _debris_particles(layers, mass, momentum, albedo_surface, scale, p, key),
+            -1, 0,
+        )
     else:
         raise ValueError(f"unknown transport method: {method!r}")
 
-    G_d, G_v, G_a = G[..., 0], G[..., 1:3], G[..., 3:6]
+    # Channel-first unpack/normalize (see transport_fluvial for why).
+    G_d = Gcf[0]
+    G_vx, G_vy = Gcf[1], Gcf[2]
+    G_a = Gcf[3:6]
 
     # Normalization (erosion.cu:353-393): fixed v=(1,0) -> norm = scale.y.
     norm = float(scale[1])
-    source_v = -p.gravity * grad
     mass_out = G_d / norm
-    momentum_out = (A * source_v + G_v) / norm
-    has_mass = (G_d > 0.0) & (_3len(G_a) > 0.0)
-    albedo_out = jnp.where(
-        has_mass[..., None], G_a / jnp.maximum(G_d, _EPS)[..., None], albedo_surface
+    momentum_out = jnp.stack(
+        [(A * (-p.gravity * grad[..., 0]) + G_vx) / norm,
+         (A * (-p.gravity * grad[..., 1]) + G_vy) / norm], axis=-1
     )
-    return mass_out, momentum_out, albedo_out
+    has_mass = (G_d > 0.0) & (jnp.sum(G_a * G_a, axis=0) > 0.0)
+    alb_cf = jnp.where(
+        has_mass[None], G_a / jnp.maximum(G_d, _EPS)[None],
+        jnp.moveaxis(albedo_surface, -1, 0),
+    )
+    return mass_out, momentum_out, jnp.moveaxis(alb_cf, 0, -1)
 
 
 def _debris_particles(layers, mass, momentum, albedo_surface, scale, p, key):

@@ -149,7 +149,7 @@ def erode_step(
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled_step(frozen_params, scale, steps):
+def _compiled_step(frozen_params, scale, steps, donate=False):
     param = ErosionParams()
     for name, value in frozen_params:
         setattr(param, name, value)
@@ -163,13 +163,21 @@ def _compiled_step(frozen_params, scale, steps):
         state, _ = jax.lax.fori_loop(0, steps, body, (state, key))
         return state
 
-    return jax.jit(fn)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
-def make_erode_fn(param: ErosionParams, scale, steps: int = 1):
+def make_erode_fn(param: ErosionParams, scale, steps: int = 1,
+                  donate: bool = False):
     """Jit-compiled erosion driver: fn(state, key=None) -> state after
-    `steps` coupled steps. Compilation is cached on (params, scale, steps)."""
-    compiled = _compiled_step(param.freeze(), tuple(float(s) for s in scale), int(steps))
+    `steps` coupled steps. Compilation is cached on (params, scale, steps).
+
+    `donate=True` donates the input state's buffers to XLA (halves the
+    state's HBM footprint — the in-place behavior the reference gets from
+    mutating tensors); the caller's old state becomes invalid, so only use
+    it in step-loop patterns like ErosionSim."""
+    compiled = _compiled_step(
+        param.freeze(), tuple(float(s) for s in scale), int(steps), donate
+    )
 
     def fn(state, key=None):
         if key is None:
@@ -196,13 +204,19 @@ class ErosionSim:
             sim.step()
     """
 
-    def __init__(self, shape, scale, param: ErosionParams = None, state: ErosionState = None, seed: int = 0):
+    def __init__(self, shape, scale, param: ErosionParams = None, state: ErosionState = None, seed: int = 0, donate: bool = False):
         self.scale = tuple(float(s) for s in scale)
         self.param = param or ErosionParams()
         self.state = state if state is not None else ErosionState.zeros(shape)
         self.key = jax.random.PRNGKey(seed)
+        # Buffer donation halves the state's resident HBM (the old state is
+        # replaced each step so donating is safe semantically), but some
+        # PJRT backends (e.g. tunneled remote TPUs) reject reads of outputs
+        # aliased to donated inputs — hence opt-in.
+        self.donate = donate
 
     def step(self, n: int = 1):
         self.key, sub = jax.random.split(self.key)
-        self.state = erode(self.state, self.scale, self.param, steps=n, key=sub)
+        self.state = make_erode_fn(self.param, self.scale, steps=n,
+                                   donate=self.donate)(self.state, sub)
         return self.state

@@ -43,9 +43,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 HALO_K = 16           # rounds per HBM pass == halo width
-TILE_Y = 256          # output tile cols (lane dim; offsets stay 128-aligned)
+TILE_Y = 384          # output tile cols (lane dim; offsets stay 128-aligned)
 SX = 256              # row window (sublane dim; multiple of 8)
-SY = 384              # col window (128-aligned; TILE_Y + 2K <= SY required)
+SY = 512              # col window (128-aligned; TILE_Y + 2K <= SY required)
 TILE_X = SX - 2 * HALO_K          # output tile rows
 _YPAD_R = SY - TILE_Y - HALO_K    # right zero-pad beyond the last tile
 assert TILE_Y + 2 * HALO_K <= SY and TILE_X % 8 == 0
