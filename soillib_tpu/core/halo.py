@@ -52,12 +52,12 @@ class Halo:
         for ops that emit global flat indices (the receiver graphs)."""
         raise NotImplementedError
 
-    def run_transport(self, E, att, dirs, iters: int):
+    def run_transport(self, E, att, vx, vy, iters: int):
         """`iters` rounds of the upwind transport fixed point
-        G <- PUSH(att * (E + G)) with channel-FIRST E, att (C, W, H).
-        Single-device: the temporally-blocked Pallas sweep on TPU (one HBM
-        pass per 16 rounds, ops/sweep.py). Sharded: per-round ppermute
-        payload exchange."""
+        G <- PUSH(att * (E + G)) with channel-FIRST E, att (C, W, H) and
+        (W, H) direction components. Single-device: the temporally-blocked
+        Pallas sweep on TPU (one HBM pass per 16 rounds, ops/sweep.py).
+        Sharded: K-blocked ppermute halo exchange."""
         raise NotImplementedError
 
 
@@ -78,10 +78,10 @@ class NoHalo(Halo):
     def global_offsets(self, block_shape):
         return 0, 0, int(block_shape[0]), int(block_shape[1])
 
-    def run_transport(self, E, att, dirs, iters: int):
+    def run_transport(self, E, att, vx, vy, iters: int):
         from soillib_tpu.ops import sweep
 
-        return sweep.run_transport(E, att, dirs, iters)
+        return sweep.run_transport(E, att, vx, vy, iters)
 
 
 NO_HALO = NoHalo()

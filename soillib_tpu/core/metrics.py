@@ -17,8 +17,8 @@ def mass_totals(state, scale):
     sx, sy, sz = float(scale[0]), float(scale[1]), float(scale[2])
     A = sx * sy
     return {
-        "bedrock": jnp.sum(state.layers[..., 0]) * sz * A,
-        "sediment": jnp.sum(state.layers[..., 1]) * sz * A,
+        "bedrock": jnp.sum(state.layers[0]) * sz * A,
+        "sediment": jnp.sum(state.layers[1]) * sz * A,
         "suspended": jnp.sum(state.mass) * A,
         "debris": jnp.sum(state.debris) * A,
         "water": jnp.sum(state.discharge) * A,
@@ -29,7 +29,7 @@ def max_slope(state, scale, exit_slope: float = 0.0):
     """Steepest Godunov slope magnitude [m/m] — the stability-relevant one
     (the transfer clamps scale with it, erosion.cu:527)."""
     g = godunov_gradient(merged_height(state.layers), scale, exit_slope)
-    return jnp.max(jnp.linalg.norm(g, axis=-1))
+    return jnp.max(jnp.sqrt(g[0] ** 2 + g[1] ** 2))
 
 
 def summarize(state, scale):

@@ -2,8 +2,13 @@
 
 Re-design of the reference's coupled hydraulic + debris-flow erosion model
 (model/path/erosion.cu, 921 LoC CUDA). The terrain is a two-layer state
-`layers` (W, H, 2) = (bedrock, sediment) heights, stored dimensionless and
+`layers` = (bedrock, sediment) heights, stored dimensionless and
 dimensionalized by scale.z (erosion.hpp:60; erosion.cu:441-451).
+
+Layout: every multichannel field is channel-FIRST — layers (2, W, H),
+momentum (2, W, H), albedo (3, W, H), gradients (2, W, H) — so the minor
+(lane) dimension is always spatial; small channel-last minors tempt the
+TPU compiler into 42x lane-padded layouts (see PARITY.md).
 
 Per step (see SURVEY.md §3.1):
   1. `transport_fluvial`  — steady-state water/sediment-mass/momentum fields
@@ -51,8 +56,8 @@ _EPS = 1e-12
 
 
 def merged_height(layers):
-    """height = bedrock + sediment (dimensionless)."""
-    return layers[..., 0] + layers[..., 1]
+    """height = bedrock + sediment (dimensionless); layers is (2, W, H)."""
+    return layers[0] + layers[1]
 
 
 def layer_merge(layers):
@@ -74,7 +79,7 @@ def godunov_gradient(height, scale, exit_slope, halo=NO_HALO):
       scale: (sx, sy, sz).
       exit_slope: boundary slope [m/m].
     Returns:
-      (W, H, 2).
+      (2, W, H) channel-first gradient.
     """
     h = halo.pad(jnp.asarray(height), jnp.nan)
     sx, sy, sz = float(scale[0]), float(scale[1]), float(scale[2])
@@ -98,15 +103,20 @@ def godunov_gradient(height, scale, exit_slope, halo=NO_HALO):
 
     gx = one_axis(hn0, hp0, sx)
     gy = one_axis(h0n, h0p, sy)
-    return halo.crop(jnp.stack([gx, gy], axis=-1))
+    return jnp.stack([halo.crop(gx), halo.crop(gy)], axis=0)
+
+
+def _len2(x, y):
+    """2-norm of component fields with a NaN-free gradient at 0 (d sqrt(0)
+    is inf; the double-where keeps the primal exact, cotangent finite)."""
+    sq = x * x + y * y
+    zero = sq == 0.0
+    return jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
 
 
 def _length(v):
-    """2-norm with a NaN-free gradient at 0 (d sqrt(0) is inf; the
-    double-where keeps the primal exact and the cotangent finite)."""
-    sq = v[..., 0] ** 2 + v[..., 1] ** 2
-    zero = sq == 0.0
-    return jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
+    """_len2 over a trailing component axis (particle-path layout)."""
+    return _len2(v[..., 0], v[..., 1])
 
 
 def _safe_pow(x, alpha):
@@ -149,23 +159,23 @@ def _fluvial_terms(
     force = jnp.array(p.force, jnp.float32)
 
     grad = godunov_gradient(merged_height(layers), scale, p.exitSlope, halo)
-    vel = momentum
+    vel = momentum  # (2, W, H)
 
     # Trajectory-initial speed (erosion.cu:75-79): normalized by sqrt(|L*v|).
-    speed = -(g * grad) + nu * vel + force
+    speed = -(g * grad) + nu * vel + force[:, None, None]
     speed = speed / jnp.sqrt(
-        jnp.maximum(_length(Lvec[None, None, :] * speed), _EPS)
-    )[..., None]
+        jnp.maximum(_len2(sx * speed[0], sy * speed[1]), _EPS)
+    )[None]
 
     # Source terms (erosion.cu:83-91); Q normalization is absorbed: the
     # field method uses expected per-cell emissions E = A * source-rate.
-    v = _length(vel)
+    v = _len2(vel[0], vel[1])
     shear = 0.125 * fD * rho_w * v * v
-    power = _safe_pow(jnp.maximum(shear * _length(grad), 0.0), alpha)
+    power = _safe_pow(jnp.maximum(shear * _len2(grad[0], grad[1]), 0.0), alpha)
     E_m = A * ks * power
     E_w = A * R * rainfall
     E_v = A * (-(g * grad) + nu * vel)
-    E_a = E_m[..., None] * albedo_surface
+    E_a = E_m[None] * albedo_surface
 
     return dict(
         A=A, Llen=Llen, grad=grad, speed=speed, force=force,
@@ -195,15 +205,16 @@ def transport_fluvial(
     Ref: __transport_fluvial + __normalize_fluvial (erosion.cu:29-239).
 
     Args:
-      layers: (W, H, 2) terrain state.
+      layers: (2, W, H) terrain state (bedrock, sediment).
       rainfall: (W, H) water source field.
       discharge: (W, H) previous water height (velocity-attenuation input).
       mass: (W, H) previous suspended mass (unused; kept for API parity).
-      momentum: (W, H, 2) previous momentum field.
-      albedo_surface: (W, H, 3) surface albedo (transport color source).
+      momentum: (2, W, H) previous momentum field.
+      albedo_surface: (3, W, H) surface albedo (transport color source).
       scale: (sx, sy, sz).
     Returns:
-      (discharge', mass', momentum', albedo_transport') new fields.
+      (discharge', mass', momentum', albedo_transport') new fields
+      (channel-first for the multichannel ones).
     """
     p = param
     method = method or p.transportMethod
@@ -230,7 +241,7 @@ def transport_fluvial(
                 scale, p, key,
             ),
             -1, 0,
-        )
+        )  # particle path returns (W, H, 7)
     else:
         raise ValueError(f"unknown transport method: {method!r}")
 
@@ -246,20 +257,19 @@ def transport_fluvial(
     A = t["A"]
     grad = t["grad"]
     force = t["force"]
-    sv_x = -p.gravity * grad[..., 0] + force[0]
-    sv_y = -p.gravity * grad[..., 1] + force[1]
+    sv_x = -p.gravity * grad[0] + force[0]
+    sv_y = -p.gravity * grad[1] + force[1]
     discharge_out = (A * p.rainfall * rainfall + G_w) / norm
     mass_out = G_m / norm
     momentum_out = jnp.stack(
-        [(A * sv_x + G_vx) / norm, (A * sv_y + G_vy) / norm], axis=-1
+        [(A * sv_x + G_vx) / norm, (A * sv_y + G_vy) / norm], axis=0
     )
 
     has_mass = (G_m > 0.0) & (jnp.sum(G_a * G_a, axis=0) > 0.0)
-    alb_cf = jnp.where(
-        has_mass[None], G_a / jnp.maximum(G_m, _EPS)[None],
-        jnp.moveaxis(albedo_surface, -1, 0),
+    albedo_out = jnp.where(
+        has_mass[None], G_a / jnp.maximum(G_m, _EPS)[None], albedo_surface
     )
-    return discharge_out, mass_out, momentum_out, jnp.moveaxis(alb_cf, 0, -1)
+    return discharge_out, mass_out, momentum_out, albedo_out
 
 
 def _3len(a):
@@ -274,26 +284,26 @@ def _fluvial_field(t, discharge, p, iters, halo=NO_HALO):
     blocked Pallas sweep on a single TPU (ops/sweep.py), the per-round
     ppermute exchange under shard_map."""
     speed = t["speed"]
-    v_norm = _length(speed)
+    v_norm = _len2(speed[0], speed[1])
     alive = v_norm >= _EPS
-    dirs = speed / jnp.maximum(v_norm, _EPS)[..., None]
+    inv = 1.0 / jnp.maximum(v_norm, _EPS)
+    vx, vy = speed[0] * inv, speed[1] * inv
 
-    step = stepsize_center(dirs)
+    step = stepsize_center(vx, vy)
     dL = step * t["Llen"]
-    ds = dL / jnp.maximum(v_norm, _EPS)
+    ds = dL * inv
 
     att_m = _masked_exp(alive, -ds * t["kd"])
     att_w = _masked_exp(alive, -ds * p.evapRate)
     att_v = _masked_exp(alive, -dL * 0.125 * t["fD"] / (_EPS + discharge))
 
-    E = jnp.stack(
-        [t["E_w"], t["E_m"], t["E_v"][..., 0], t["E_v"][..., 1],
-         t["E_a"][..., 0], t["E_a"][..., 1], t["E_a"][..., 2]], axis=0
+    E = jnp.concatenate(
+        [t["E_w"][None], t["E_m"][None], t["E_v"], t["E_a"]], axis=0
     )
     att = jnp.stack(
         [att_w, att_m, att_v, att_v, att_m, att_m, att_m], axis=0
     )
-    return halo.run_transport(E, att, dirs, iters)
+    return halo.run_transport(E, att, vx, vy, iters)
 
 
 def _fluvial_particles(
@@ -326,7 +336,7 @@ def _fluvial_particles(
     force = jnp.array(p.force, jnp.float32)
 
     height = merged_height(layers)
-    grad_field = godunov_gradient(height, scale, p.exitSlope)
+    grad_field = godunov_gradient(height, scale, p.exitSlope)  # (2, W, H)
 
     ku, kv = jax.random.split(key)
     pos = jnp.stack(
@@ -338,11 +348,11 @@ def _fluvial_particles(
     )
     ind = pos[:, 0].astype(jnp.int32) * H + pos[:, 1].astype(jnp.int32)
 
-    mom_flat = jnp.asarray(momentum).reshape(-1, 2)
+    mom_flat = jnp.moveaxis(jnp.asarray(momentum), 0, -1).reshape(-1, 2)
     rain_flat = jnp.asarray(rainfall).reshape(-1)
-    alb_flat = jnp.asarray(albedo_surface).reshape(-1, 3)
+    alb_flat = jnp.moveaxis(jnp.asarray(albedo_surface), 0, -1).reshape(-1, 3)
     dis_flat = jnp.asarray(discharge).reshape(-1)
-    grad_flat = jnp.asarray(grad_field).reshape(-1, 2)
+    grad_flat = jnp.moveaxis(grad_field, 0, -1).reshape(-1, 2)
 
     def grad_at(pcell):
         return grad_flat[pcell]
@@ -447,10 +457,10 @@ def transport_debris(
     (deposition), with asymmetric rates. Ref: erosion.cu:245-436.
 
     Args:
-      layers: (W, H, 2); mass: (W, H) previous debris field;
-      momentum: (W, H, 2); albedo_surface: (W, H, 3).
+      layers: (2, W, H); mass: (W, H) previous debris field;
+      momentum: (2, W, H); albedo_surface: (3, W, H).
     Returns:
-      (mass', momentum', albedo_transport').
+      (mass', momentum', albedo_transport') — channel-first.
     """
     p = param
     method = method or p.transportMethod
@@ -469,26 +479,27 @@ def transport_debris(
     tau_y = p.yieldStress
 
     grad = godunov_gradient(merged_height(layers), scale, p.exitSlope, halo)
-    vel = momentum
+    vel = momentum  # (2, W, H)
     speed = -(g * grad) + nu * vel
     speed = speed / jnp.sqrt(
-        jnp.maximum(_length(Lvec[None, None, :] * speed), _EPS)
-    )[..., None]
+        jnp.maximum(_len2(sx * speed[0], sy * speed[1]), _EPS)
+    )[None]
 
-    excess0 = _length(grad) - theta
+    excess0 = _len2(grad[0], grad[1]) - theta
     suspend = jnp.maximum(0.0, kl * excess0)
     E_d = A * suspend
     E_v = A * (-(g * grad) + nu * vel)
-    E_a = E_d[..., None] * albedo_surface
+    E_a = E_d[None] * albedo_surface
 
     if method == "field":
         iters = iterations or (p.transportIterations or p.maxage)
-        v_norm = _length(speed)
+        v_norm = _len2(speed[0], speed[1])
         alive = v_norm >= _EPS
-        dirs = speed / jnp.maximum(v_norm, _EPS)[..., None]
-        step = stepsize_center(dirs)
+        inv = 1.0 / jnp.maximum(v_norm, _EPS)
+        vx, vy = speed[0] * inv, speed[1] * inv
+        step = stepsize_center(vx, vy)
         dL = step * Llen
-        ds = dL / jnp.maximum(v_norm, _EPS)
+        ds = dL * inv
 
         # Yield-stress balance: the per-particle carried height is
         # approximated by the previous debris field (the same field-level
@@ -497,16 +508,13 @@ def transport_debris(
         excessStress = g * (excess0 - tau_y / debrisHeight)
         shearRate = jnp.where(excessStress < 0.0, kdd, kds)
         att_d = _masked_exp(
-            alive, ds * shearRate * excessStress / jnp.maximum(v_norm, _EPS)
+            alive, ds * shearRate * excessStress * inv
         )
         att_v = _masked_exp(alive, -dL * (nu + tau / debrisHeight))
 
-        E = jnp.stack(
-            [E_d, E_v[..., 0], E_v[..., 1],
-             E_a[..., 0], E_a[..., 1], E_a[..., 2]], axis=0
-        )
+        E = jnp.concatenate([E_d[None], E_v, E_a], axis=0)
         att = jnp.stack([att_d, att_v, att_v, att_d, att_d, att_d], axis=0)
-        Gcf = halo.run_transport(E, att, dirs, iters)
+        Gcf = halo.run_transport(E, att, vx, vy, iters)
     elif method == "particles":
         if halo is not NO_HALO:
             raise NotImplementedError(
@@ -530,15 +538,14 @@ def transport_debris(
     norm = float(scale[1])
     mass_out = G_d / norm
     momentum_out = jnp.stack(
-        [(A * (-p.gravity * grad[..., 0]) + G_vx) / norm,
-         (A * (-p.gravity * grad[..., 1]) + G_vy) / norm], axis=-1
+        [(A * (-p.gravity * grad[0]) + G_vx) / norm,
+         (A * (-p.gravity * grad[1]) + G_vy) / norm], axis=0
     )
     has_mass = (G_d > 0.0) & (jnp.sum(G_a * G_a, axis=0) > 0.0)
-    alb_cf = jnp.where(
-        has_mass[None], G_a / jnp.maximum(G_d, _EPS)[None],
-        jnp.moveaxis(albedo_surface, -1, 0),
+    albedo_out = jnp.where(
+        has_mass[None], G_a / jnp.maximum(G_d, _EPS)[None], albedo_surface
     )
-    return mass_out, momentum_out, jnp.moveaxis(alb_cf, 0, -1)
+    return mass_out, momentum_out, albedo_out
 
 
 def _debris_particles(layers, mass, momentum, albedo_surface, scale, p, key):
@@ -561,9 +568,9 @@ def _debris_particles(layers, mass, momentum, albedo_surface, scale, p, key):
     tau_y = p.yieldStress
 
     grad_field = godunov_gradient(merged_height(layers), scale, p.exitSlope)
-    grad_flat = jnp.asarray(grad_field).reshape(-1, 2)
-    mom_flat = jnp.asarray(momentum).reshape(-1, 2)
-    alb_flat = jnp.asarray(albedo_surface).reshape(-1, 3)
+    grad_flat = jnp.moveaxis(grad_field, 0, -1).reshape(-1, 2)
+    mom_flat = jnp.moveaxis(jnp.asarray(momentum), 0, -1).reshape(-1, 2)
+    alb_flat = jnp.moveaxis(jnp.asarray(albedo_surface), 0, -1).reshape(-1, 3)
 
     ku, kv = jax.random.split(key)
     pos = jnp.stack(
@@ -693,10 +700,10 @@ def mass_transfer(
 
     grad = godunov_gradient(merged_height(layers), scale, p.exitSlope, halo)
     L = math.sqrt(sx * sx + sy * sy)
-    slope = _length(grad)
+    slope = _len2(grad[0], grad[1])
 
     # Fluvial erosion (erosion.cu:496-506)
-    v = _length(momentum)
+    v = _len2(momentum[0], momentum[1])
     shear = 0.125 * fD * rho * v * v
     power = _safe_pow(jnp.maximum(shear * slope, 0.0), alpha)
     suspend = kfs * power
@@ -718,10 +725,10 @@ def mass_transfer(
 
     # Two-layer bookkeeping (erosion.cu:530-547): deposition -> sediment,
     # erosion eats sediment then bedrock, uplift -> bedrock only.
-    d_bed = delta[..., 0] + dt * uplift_rate / sz
-    d_sed = delta[..., 1] + jnp.maximum(0.0, transfer) / sz
+    d_bed = delta[0] + dt * uplift_rate / sz
+    d_sed = delta[1] + jnp.maximum(0.0, transfer) / sz
 
-    sed = layers[..., 1]
+    sed = layers[1]
     neg = transfer < 0.0
     limited = jnp.maximum(-sed * sz, transfer)  # sediment portion (<= 0)
     residual = transfer - limited                # bedrock portion  (<= 0)
@@ -729,29 +736,30 @@ def mass_transfer(
     d_bed = d_bed + jnp.where(neg, residual / sz, 0.0)
     transfer_post = jnp.where(neg, residual, transfer)
 
-    delta_out = jnp.stack([d_bed, d_sed], axis=-1)
+    delta_out = jnp.stack([d_bed, d_sed], axis=0)
 
-    # Surface / transport albedo mixing (erosion.cu:549-572)
+    # Surface / transport albedo mixing (erosion.cu:549-572); albedo fields
+    # are channel-first so channel broadcasts use [None].
     totalHeight = mass + debrisHeight
     mixDepth = 1.0
     wMass = jnp.minimum(mass / jnp.maximum(totalHeight, _EPS), 1.0)
     colorTransport = jnp.minimum(
         1.0,
-        wMass[..., None] * albedo_transport_fluvial
-        + (1.0 - wMass[..., None]) * albedo_transport_debris,
+        wMass[None] * albedo_transport_fluvial
+        + (1.0 - wMass[None]) * albedo_transport_debris,
     )
     colorSurface = jnp.minimum(1.0, albedo_surface)
     wSurf = jnp.minimum(mixDepth, sed * sz)
     wTrsp = jnp.maximum(eps, transfer_post)
     wmix = jnp.minimum(wTrsp / (wTrsp + wSurf), 1.0)
-    colorMix = wmix[..., None] * colorTransport + (1.0 - wmix[..., None]) * colorSurface
+    colorMix = wmix[None] * colorTransport + (1.0 - wmix[None]) * colorSurface
 
     bare = sed == 0.0
     depositing = (totalHeight > 0.0) & (transfer_post > eps)
     albedo_out = jnp.where(
-        bare[..., None],
+        bare[None],
         albedo_bedrock,
-        jnp.where(depositing[..., None], colorMix, albedo_surface),
+        jnp.where(depositing[None], colorMix, albedo_surface),
     )
     return delta_out, albedo_out
 
@@ -767,12 +775,12 @@ def mass_creep(delta, layers, scale, param: ErosionParams, halo=NO_HALO):
     sx, sy, sz = float(scale[0]), float(scale[1]), float(scale[2])
     critSlope = p.critSlopeSediment
 
-    bed = layers[..., 0]
+    bed = layers[0]
     # Edge-pad: for a radius-1 shift, clamp-to-edge reproduces the creep
     # kernel's clamp-to-self substitution (erosion.cu:655-658) exactly —
     # the substituted neighbor equals the center cell, making the pair
     # transfer vanish at the boundary either way.
-    sed = halo.pad(layers[..., 1], "edge")
+    sed = halo.pad(layers[1], "edge")
     h = (halo.pad(bed, "edge") + sed) * sz
 
     def pair_transfer(dx, dy, s):
@@ -796,8 +804,8 @@ def mass_creep(delta, layers, scale, param: ErosionParams, halo=NO_HALO):
         + pair_transfer(0, +1, sy)
         + pair_transfer(0, -1, sy)
     )
-    d_sed = delta[..., 1] + 0.25 * halo.crop(t) / sz
-    return jnp.stack([delta[..., 0], d_sed], axis=-1)
+    d_sed = delta[1] + 0.25 * halo.crop(t) / sz
+    return jnp.stack([delta[0], d_sed], axis=0)
 
 
 def _shift_self(h, dx, dy):
@@ -821,24 +829,24 @@ def albedo_stratum(uplift, layers, scale, param, colorA, colorB, age, freq):
     Ref: erosion.cu:794-854."""
     sz = float(scale[2])
     shift = age * param.uplift * uplift
-    depth = jnp.maximum(shift - layers[..., 0] * sz, 0.0)
+    depth = jnp.maximum(shift - layers[0] * sz, 0.0)
     index = jnp.floor(depth / freq).astype(jnp.int32)
     even = index % 2 == 0
-    cA = jnp.asarray(colorA, jnp.float32)
-    cB = jnp.asarray(colorB, jnp.float32)
-    return jnp.where(even[..., None], cA, cB)
+    cA = jnp.asarray(colorA, jnp.float32)[:, None, None]
+    cB = jnp.asarray(colorB, jnp.float32)[:, None, None]
+    return jnp.where(even[None], cA, cB)
 
 
 def albedo_layer(albedo_bedrock, albedo_sediment, layers, scale_sediment, shift_sediment):
     """Bedrock-sediment blend 1/(1 + scale*sed). Ref: erosion.cu:759-791."""
     cS = jnp.minimum(1.0, albedo_sediment + jnp.asarray(shift_sediment, jnp.float32))
-    blend = 1.0 / (1.0 + scale_sediment * layers[..., 1])
-    return blend[..., None] * albedo_bedrock + (1.0 - blend[..., None]) * cS
+    blend = 1.0 / (1.0 + scale_sediment * layers[1])
+    return blend[None] * albedo_bedrock + (1.0 - blend[None]) * cS
 
 
 def albedo_discharge(albedo, discharge, color_discharge, extinction, scale):
     """Extinction blend toward the water color. Ref: erosion.cu:857-919."""
     value = jnp.maximum(0.0, discharge)
     blend = scale * (1.0 - jnp.exp(-extinction * value))
-    c = jnp.asarray(color_discharge, jnp.float32)
-    return blend[..., None] * c + (1.0 - blend[..., None]) * albedo
+    c = jnp.asarray(color_discharge, jnp.float32)[:, None, None]
+    return blend[None] * c + (1.0 - blend[None]) * albedo

@@ -31,10 +31,17 @@ def resize_state(state: ErosionState, newres) -> ErosionState:
     The scaleup() of the reference resizes height, sediment, discharge,
     momentum, rainfall, uplift, and the track fields one by one
     (erosion_gpu_multiscale.py:110-137); here the whole pytree maps through
-    one resize.
+    one resize. Channel-first (C, W, H) leaves resize per channel.
     """
     nW, nH = int(newres[0]), int(newres[1])
-    return jax.tree_util.tree_map(lambda a: resize(a, (nW, nH)), state)
+
+    def leaf(a):
+        if a.ndim == 2:
+            return resize(a, (nW, nH))
+        return jnp.stack([resize(a[c], (nW, nH)) for c in range(a.shape[0])],
+                         axis=0)
+
+    return jax.tree_util.tree_map(leaf, state)
 
 
 def level_scale(world_extent, zscale, res):

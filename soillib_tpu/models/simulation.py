@@ -45,27 +45,34 @@ class ErosionState:
     albedo instrumentation fields, as one pytree.
     """
 
-    layers: jax.Array            # (W, H, 2) bedrock, sediment (dimensionless)
+    layers: jax.Array            # (2, W, H) bedrock, sediment (dimensionless)
     rainfall: jax.Array          # (W, H)
     uplift: jax.Array            # (W, H)
     discharge: jax.Array         # (W, H) water height
     mass: jax.Array              # (W, H) suspended fluvial sediment
-    momentum: jax.Array          # (W, H, 2)
+    momentum: jax.Array          # (2, W, H)
     debris: jax.Array            # (W, H)
-    debris_momentum: jax.Array   # (W, H, 2)
-    albedo_bedrock: jax.Array    # (W, H, 3)
-    albedo_surface: jax.Array    # (W, H, 3)
-    albedo_fluvial: jax.Array    # (W, H, 3)
-    albedo_debris: jax.Array     # (W, H, 3)
+    debris_momentum: jax.Array   # (2, W, H)
+    albedo_bedrock: jax.Array    # (3, W, H)
+    albedo_surface: jax.Array    # (3, W, H)
+    albedo_fluvial: jax.Array    # (3, W, H)
+    albedo_debris: jax.Array     # (3, W, H)
+
+    # Multichannel fields are channel-FIRST so the TPU lane dimension is
+    # always spatial (see PARITY.md on small-lane layout pathologies).
 
     @property
     def height(self):
         """Merged height (layer_merge, erosion.cu:733-757)."""
-        return self.layers[..., 0] + self.layers[..., 1]
+        return self.layers[0] + self.layers[1]
+
+    @property
+    def bedrock(self):
+        return self.layers[0]
 
     @property
     def sediment(self):
-        return self.layers[..., 1]
+        return self.layers[1]
 
     def replace(self, **kw) -> "ErosionState":
         return dataclasses.replace(self, **kw)
@@ -74,12 +81,12 @@ class ErosionState:
     def zeros(shape, height=None, rainfall=None, uplift=None, sediment=None):
         """Fresh state on a (W, H) grid; `height` initializes bedrock."""
         W, H = int(shape[0]), int(shape[1])
-        f = lambda *c: jnp.zeros((W, H, *c), jnp.float32)
+        f = lambda *c: jnp.zeros((*c, W, H), jnp.float32)
         bed = jnp.asarray(height, jnp.float32) if height is not None else f()
         sed = jnp.asarray(sediment, jnp.float32) if sediment is not None else f()
-        white = jnp.ones((W, H, 3), jnp.float32)
+        white = jnp.ones((3, W, H), jnp.float32)
         return ErosionState(
-            layers=jnp.stack([bed, sed], axis=-1),
+            layers=jnp.stack([bed, sed], axis=0),
             rainfall=jnp.asarray(rainfall, jnp.float32) if rainfall is not None else jnp.ones((W, H), jnp.float32),
             uplift=jnp.asarray(uplift, jnp.float32) if uplift is not None else f(),
             discharge=f(),

@@ -187,14 +187,14 @@ def _sweep_call(Gp, Ep, Ap, Vx, Vy, *, rounds, grid_wh, interpret):
     )(Gp, Ep, Ap, Vx, Vy)
 
 
-def transport_advance(G0, E, att, dirs, iters: int, *, interpret: bool = False):
+def transport_advance(G0, E, att, vx, vy, iters: int, *, interpret: bool = False):
     """`iters` rounds of G <- PUSH(att * (E + G)) from an arbitrary G0.
 
     Args:
       G0:   (C, W, H) initial inflow state (zeros for a fresh solve).
       E:    (C, W, H) per-cell emission (channel-first).
       att:  (C, W, H) per-cell, per-channel attenuation.
-      dirs: (W, H, 2) unit flow directions.
+      vx, vy: (W, H) unit flow direction components.
       iters: number of rounds (static).
       interpret: run the Pallas interpreter (CPU testing).
     Returns:
@@ -214,8 +214,8 @@ def transport_advance(G0, E, att, dirs, iters: int, *, interpret: bool = False):
         return jnp.pad(x, ((K, Wp - W + K), (K, Hp - H + _YPAD_R)))
 
     Ep, Ap = pad3(E), pad3(att)
-    Vx = pad2(dirs[..., 0])
-    Vy = pad2(dirs[..., 1])
+    Vx = pad2(vx)
+    Vy = pad2(vy)
 
     G = jnp.pad(jnp.asarray(G0, jnp.float32),
                 ((0, 0), (0, Wp - W), (0, Hp - H)))
@@ -231,17 +231,17 @@ def transport_advance(G0, E, att, dirs, iters: int, *, interpret: bool = False):
     return G[:, :W, :H]
 
 
-def transport_sweep(E, att, dirs, iters: int, *, interpret: bool = False):
+def transport_sweep(E, att, vx, vy, iters: int, *, interpret: bool = False):
     """`iters` rounds of G <- PUSH(att * (E + G)) from G = 0."""
     return transport_advance(
-        jnp.zeros_like(E), E, att, dirs, iters, interpret=interpret
+        jnp.zeros_like(E), E, att, vx, vy, iters, interpret=interpret
     )
 
 
-def upwind_push_cf(payload, dirs):
+def upwind_push_cf(payload, vx, vy):
     """Channel-first reference implementation of one PUSH round (the jnp
     fallback and the oracle the kernel is tested against)."""
-    mxp, mxn, myp, myn = _round_weights(dirs[..., 0], dirs[..., 1])
+    mxp, mxn, myp, myn = _round_weights(vx, vy)
 
     def shift_from(a, dx, dy):
         pad = [(0, 0)] * (a.ndim - 2) + [(max(0, dx), max(0, -dx)),
@@ -259,17 +259,19 @@ def upwind_push_cf(payload, dirs):
     )
 
 
-def transport_advance_reference(G0, E, att, dirs, iters: int):
+def transport_advance_reference(G0, E, att, vx, vy, iters: int):
     """jnp fallback of `transport_advance`: one HBM pass per round."""
     def body(_, G):
-        return upwind_push_cf(att * (E + G), dirs)
+        return upwind_push_cf(att * (E + G), vx, vy)
 
     return jax.lax.fori_loop(0, iters, body, G0)
 
 
-def transport_sweep_reference(E, att, dirs, iters: int):
+def transport_sweep_reference(E, att, vx, vy, iters: int):
     """jnp fallback: same fixed point, one HBM pass per round."""
-    return transport_advance_reference(jnp.zeros_like(E), E, att, dirs, iters)
+    return transport_advance_reference(
+        jnp.zeros_like(E), E, att, vx, vy, iters
+    )
 
 
 def use_pallas() -> bool:
@@ -278,22 +280,23 @@ def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _diffable_sweep(E, att, dirs, iters):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _diffable_sweep(E, att, vx, vy, iters):
     """Pallas forward with a jnp reverse pass: the kernel has no AD rule,
     so `jax.grad` through the erosion step replays the (mathematically
     identical) per-round reference in the backward sweep."""
-    return transport_sweep(E, att, dirs, iters)
+    return transport_sweep(E, att, vx, vy, iters)
 
 
-def _diffable_fwd(E, att, dirs, iters):
-    return transport_sweep(E, att, dirs, iters), (E, att, dirs)
+def _diffable_fwd(E, att, vx, vy, iters):
+    return transport_sweep(E, att, vx, vy, iters), (E, att, vx, vy)
 
 
 def _diffable_bwd(iters, res, ct):
-    E, att, dirs = res
+    E, att, vx, vy = res
     _, vjp = jax.vjp(
-        lambda e, a, d: transport_sweep_reference(e, a, d, iters), E, att, dirs
+        lambda e, a, x, y: transport_sweep_reference(e, a, x, y, iters),
+        E, att, vx, vy,
     )
     return vjp(ct)
 
@@ -301,8 +304,8 @@ def _diffable_bwd(iters, res, ct):
 _diffable_sweep.defvjp(_diffable_fwd, _diffable_bwd)
 
 
-def run_transport(E, att, dirs, iters: int):
+def run_transport(E, att, vx, vy, iters: int):
     """Backend-dispatched `iters`-round transport solve (channel-first)."""
     if use_pallas():
-        return _diffable_sweep(E, att, dirs, int(iters))
-    return transport_sweep_reference(E, att, dirs, iters)
+        return _diffable_sweep(E, att, vx, vy, int(iters))
+    return transport_sweep_reference(E, att, vx, vy, iters)

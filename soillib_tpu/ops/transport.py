@@ -62,9 +62,10 @@ def stepsize(pos, d):
     return 0.5 * (tx + ty)
 
 
-def stepsize_center(d):
+def stepsize_center(vx, vy):
     """`stepsize` evaluated at cell centers (pos frac = 0.5): the per-cell
-    mean crossing distance used by the field method.
+    mean crossing distance used by the field method, from unit-direction
+    components.
 
     The small-component branch is double-where'd: min(0.5/a, sqrt2) equals
     sqrt2 exactly for a <= 0.5/sqrt2, and masking the division there keeps
@@ -73,7 +74,7 @@ def stepsize_center(d):
         capped = a <= 0.5 / _SQRT2
         return jnp.where(capped, _SQRT2, 0.5 / jnp.where(capped, 1.0, a))
 
-    return 0.5 * (axis(jnp.abs(d[..., 0])) + axis(jnp.abs(d[..., 1])))
+    return 0.5 * (axis(jnp.abs(vx)) + axis(jnp.abs(vy)))
 
 
 def bilinear_gather(field, pos):
@@ -170,8 +171,9 @@ def _solve_field(flow, source, decay, scale, iterations, halo=NO_HALO):
     v_len = jnp.linalg.norm(flow, axis=-1)
     alive = v_len > 0.0
     safe = jnp.where(alive, v_len, 1.0)
-    dirs = flow / safe[..., None]
-    step = stepsize_center(dirs)
+    vx = flow[..., 0] / safe
+    vy = flow[..., 1] / safe
+    step = stepsize_center(vx, vy)
     dlam = step * L / safe
     att = jnp.where(alive, jnp.exp(jnp.where(alive, -dlam * decay, 0.0)), 0.0)
 
@@ -180,7 +182,7 @@ def _solve_field(flow, source, decay, scale, iterations, halo=NO_HALO):
     # Channel-first solve (TPU Pallas sweep / sharded ppermute; sweep.py).
     E = jnp.moveaxis(emit, -1, 0) if source.ndim == 3 else emit[None]
     attc = jnp.broadcast_to(att[None], E.shape)
-    G = halo.run_transport(E, attc, dirs, iterations)
+    G = halo.run_transport(E, attc, vx, vy, iterations)
     return jnp.moveaxis(G, 0, -1) if source.ndim == 3 else G[0]
 
 

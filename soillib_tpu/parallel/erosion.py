@@ -42,7 +42,16 @@ def make_sharded_erode_fn(mesh, scale, param: ErosionParams, steps: int = 1):
     if param.transportMethod != "field":
         raise ValueError("sharded erosion requires param.transportMethod='field'")
     halo = ShardHalo(mesh.devices.shape, mesh.axis_names)
-    spec = grid_spec(mesh)
+    # Per-field specs: (W, H) leaves shard both dims; channel-first
+    # (C, W, H) leaves replicate the channel dim.
+    spec2 = P(*mesh.axis_names)
+    spec3 = P(None, *mesh.axis_names)
+    state_spec = ErosionState(
+        layers=spec3, rainfall=spec2, uplift=spec2, discharge=spec2,
+        mass=spec2, momentum=spec3, debris=spec2, debris_momentum=spec3,
+        albedo_bedrock=spec3, albedo_surface=spec3, albedo_fluvial=spec3,
+        albedo_debris=spec3,
+    )
     scale = tuple(float(s) for s in scale)
     frozen = param.freeze()
 
@@ -62,8 +71,8 @@ def make_sharded_erode_fn(mesh, scale, param: ErosionParams, steps: int = 1):
     sharded = shard_map(
         local_steps,
         mesh=mesh,
-        in_specs=(spec, P()),
-        out_specs=spec,
+        in_specs=(state_spec, P()),
+        out_specs=state_spec,
         check_vma=False,
     )
 

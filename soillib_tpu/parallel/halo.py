@@ -121,7 +121,7 @@ class ShardHalo(Halo):
         r = radius
         return arr[..., r:-r, r:-r]
 
-    def run_transport(self, E, att, dirs, iters: int):
+    def run_transport(self, E, att, vx, vy, iters: int):
         """Temporally-blocked distributed transport: one K-wide halo
         exchange over ICI per K rounds, with the K rounds advanced
         entirely block-locally (the Pallas sweep on TPU, the jnp fixed
@@ -136,11 +136,12 @@ class ShardHalo(Halo):
         K = S.HALO_K
         bw, bh = E.shape[-2], E.shape[-1]
         if bw < K or bh < K:
-            return self._run_transport_per_round(E, att, dirs, iters)
+            return self._run_transport_per_round(E, att, vx, vy, iters)
 
         Ep = self.pad_cf(E, 0.0, K)
         attp = self.pad_cf(att, 0.0, K)
-        dirs_p = self.pad(dirs, 0.0, K)
+        vxp = self.pad_cf(vx, 0.0, K)
+        vyp = self.pad_cf(vy, 0.0, K)
 
         advance = (
             S.transport_advance if S.use_pallas()
@@ -151,20 +152,21 @@ class ShardHalo(Halo):
         n_full, rem = divmod(int(iters), K)
         for _ in range(n_full):
             Gp = self.pad_cf(G, 0.0, K)
-            G = self.crop_cf(advance(Gp, Ep, attp, dirs_p, K), K)
+            G = self.crop_cf(advance(Gp, Ep, attp, vxp, vyp, K), K)
         if rem:
             Gp = self.pad_cf(G, 0.0, K)
-            G = self.crop_cf(advance(Gp, Ep, attp, dirs_p, rem), K)
+            G = self.crop_cf(advance(Gp, Ep, attp, vxp, vyp, rem), K)
         return G
 
-    def _run_transport_per_round(self, E, att, dirs, iters: int):
+    def _run_transport_per_round(self, E, att, vx, vy, iters: int):
         """Per-round payload halo exchange (1-cell ppermute per round)."""
         from soillib_tpu.ops.sweep import upwind_push_cf
 
-        dirs_p = self.pad(dirs, 0.0)
+        vxp = self.pad_cf(vx, 0.0)
+        vyp = self.pad_cf(vy, 0.0)
 
         def body(_, G):
             payload = self.pad_cf(att * (E + G), 0.0)
-            return self.crop_cf(upwind_push_cf(payload, dirs_p))
+            return self.crop_cf(upwind_push_cf(payload, vxp, vyp))
 
         return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(E))

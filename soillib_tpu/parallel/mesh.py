@@ -45,8 +45,21 @@ def make_mesh(shape=None, devices=None, axis_names=AXES) -> Mesh:
 
 
 def grid_spec(mesh: Mesh) -> P:
-    """PartitionSpec sharding the two spatial dims (channels replicated)."""
+    """PartitionSpec sharding the two spatial dims of a (W, H) field."""
     return P(*mesh.axis_names)
+
+
+def leaf_spec(arr, mesh: Mesh) -> P:
+    """Spec for a field: (W, H) shards both dims; channel-first (C, W, H)
+    replicates the channel dim and shards the spatial ones."""
+    if arr.ndim == 2:
+        return P(*mesh.axis_names)
+    return P(None, *mesh.axis_names)
+
+
+def state_specs(state, mesh: Mesh):
+    """Pytree of PartitionSpecs matching a state pytree's leaves."""
+    return jax.tree_util.tree_map(lambda a: leaf_spec(a, mesh), state)
 
 
 def grid_sharding(mesh: Mesh) -> NamedSharding:
@@ -54,15 +67,14 @@ def grid_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_field(arr, mesh: Mesh):
-    """Place a (W, H[, C]) field block-decomposed on the mesh."""
-    return jax.device_put(arr, grid_sharding(mesh))
+    """Place a (W, H) or channel-first (C, W, H) field block-decomposed."""
+    return jax.device_put(arr, NamedSharding(mesh, leaf_spec(arr, mesh)))
 
 
 def shard_state(state, mesh: Mesh):
-    """Place every leaf of a pytree (e.g. ErosionState) block-decomposed.
-    All leaves must be (W, H[, ...]) fields."""
-    s = grid_sharding(mesh)
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, s), state)
+    """Place every leaf of a pytree (e.g. ErosionState) block-decomposed
+    over the spatial dims (channel dims replicated)."""
+    return jax.tree_util.tree_map(lambda a: shard_field(a, mesh), state)
 
 
 def check_divisible(shape, mesh: Mesh, radius: int = 1):

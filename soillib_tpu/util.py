@@ -130,8 +130,12 @@ def show_layers(layers, scale=(1.0, 1.0, 1.0), show=True, save=None):
     """Sediment-colored relief. Ref: util.py:153-171."""
     plt = _plt()
     layers = np.asarray(layers)
-    height = layers[..., 0] + layers[..., 1]
-    sediment = layers[..., 1]
+    if layers.shape[0] == 2:            # channel-first (2, W, H)
+        height = layers[0] + layers[1]
+        sediment = layers[1]
+    else:                               # legacy channel-last (W, H, 2)
+        height = layers[..., 0] + layers[..., 1]
+        sediment = layers[..., 1]
     n = np.asarray(_normal(height, scale))
     relief = 0.5 + 0.5 * relief_shade(height, n)
     shaded = np.repeat(relief[..., None], 3, axis=-1)

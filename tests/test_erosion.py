@@ -17,12 +17,12 @@ def layers():
         np.float32
     )
     sed = (0.05 * rng.random((16, 13))).astype(np.float32)
-    return np.stack([bed, sed], axis=-1)
+    return np.stack([bed, sed], axis=0)
 
 
 def test_godunov_gradient_matches_oracle(layers):
-    h = layers[..., 0] + layers[..., 1]
-    got = np.asarray(godunov_gradient(h, SCALE, 0.02))
+    h = layers[0] + layers[1]
+    got = np.moveaxis(np.asarray(godunov_gradient(h, SCALE, 0.02)), 0, -1)
     want = oracles.glocal_oracle(h, SCALE, 0.02)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
 
@@ -31,9 +31,10 @@ def test_creep_matches_oracle(layers):
     p = soil.param_t()
     delta = np.zeros_like(layers)
     got = np.asarray(mass_creep(delta, layers, SCALE, p))
-    want = oracles.creep_oracle(layers, SCALE, p.critSlopeSediment)
-    np.testing.assert_allclose(got[..., 1], want, rtol=1e-4, atol=1e-6)
-    np.testing.assert_allclose(got[..., 0], 0.0)
+    want = oracles.creep_oracle(np.moveaxis(layers, 0, -1), SCALE,
+                                p.critSlopeSediment)
+    np.testing.assert_allclose(got[1], want, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(got[0], 0.0)
 
 
 def test_creep_mass_conservation(layers):
@@ -41,7 +42,7 @@ def test_creep_mass_conservation(layers):
     p = soil.param_t()
     delta = np.zeros_like(layers)
     got = np.asarray(mass_creep(delta, layers, SCALE, p))
-    np.testing.assert_allclose(got[..., 1].sum(), 0.0, atol=1e-5)
+    np.testing.assert_allclose(got[1].sum(), 0.0, atol=1e-5)
 
 
 def test_creep_flattens_steep_sediment():
@@ -50,11 +51,11 @@ def test_creep_flattens_steep_sediment():
     bed = np.zeros((9, 9), np.float32)
     sed = np.zeros((9, 9), np.float32)
     sed[4, 4] = 1.0
-    layers = np.stack([bed, sed], axis=-1)
+    layers = np.stack([bed, sed], axis=0)
     delta = np.asarray(mass_creep(np.zeros_like(layers), layers, SCALE, p))
-    assert delta[4, 4, 1] < 0.0
-    assert delta[3, 4, 1] > 0.0 and delta[5, 4, 1] > 0.0
-    np.testing.assert_allclose(delta[..., 1].sum(), 0.0, atol=1e-6)
+    assert delta[1, 4, 4] < 0.0
+    assert delta[1, 3, 4] > 0.0 and delta[1, 5, 4] > 0.0
+    np.testing.assert_allclose(delta[1].sum(), 0.0, atol=1e-6)
 
 
 def test_mass_transfer_uplift_only():
@@ -63,35 +64,35 @@ def test_mass_transfer_uplift_only():
     fluvial or debris erosion, erosion.cu:496-514)."""
     p = soil.param_t()
     W, H = 16, 13
-    layers = np.zeros((W, H, 2), np.float32)
+    layers = np.zeros((2, W, H), np.float32)
     z = np.zeros((W, H), np.float32)
-    z2 = np.zeros((W, H, 2), np.float32)
-    white = np.ones((W, H, 3), np.float32)
+    z2 = np.zeros((2, W, H), np.float32)
+    white = np.ones((3, W, H), np.float32)
     uplift = np.random.default_rng(0).random((W, H)).astype(np.float32)
     delta, alb = mass_transfer(
         z2, layers, uplift, z, z, z2, z, z2, white, white, white, white, SCALE, p
     )
     delta = np.asarray(delta)
     want = p.timeStep * p.uplift * uplift / SCALE[2]
-    np.testing.assert_allclose(delta[..., 0], want, rtol=1e-5, atol=1e-7)
-    np.testing.assert_allclose(delta[..., 1], 0.0, atol=1e-7)
+    np.testing.assert_allclose(delta[0], want, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(delta[1], 0.0, atol=1e-7)
 
 
 def test_mass_transfer_deposit_clamp(layers):
     """Deposition is clamped to +0.25 * L * 0.3 (erosion.cu:528)."""
     p = soil.param_t()
     p.uplift = 0.0
-    W, H = layers.shape[:2]
+    W, H = layers.shape[1:]
     z = np.zeros((W, H), np.float32)
-    z2 = np.zeros((W, H, 2), np.float32)
-    white = np.ones((W, H, 3), np.float32)
+    z2 = np.zeros((2, W, H), np.float32)
+    white = np.ones((3, W, H), np.float32)
     big_mass = np.full((W, H), 1e9, np.float32)  # force huge deposition
     delta, _ = mass_transfer(
         z2, layers, z, z, big_mass, z2, z, z2, white, white, white, white, SCALE, p
     )
     L = np.hypot(SCALE[0], SCALE[1])
     np.testing.assert_allclose(
-        np.asarray(delta)[..., 1], 0.25 * L * 0.3 / SCALE[2], rtol=1e-5
+        np.asarray(delta)[1], 0.25 * L * 0.3 / SCALE[2], rtol=1e-5
     )
 
 
@@ -107,19 +108,19 @@ def test_mass_transfer_erosion_eats_sediment_first():
     bed = np.linspace(1, 0, W, dtype=np.float32)[:, None] * np.ones((1, H), np.float32)
     thin = 1e-5
     sed = np.full((W, H), thin, np.float32)
-    layers = np.stack([bed, sed], axis=-1)
+    layers = np.stack([bed, sed], axis=0)
     z = np.zeros((W, H), np.float32)
-    z2 = np.zeros((W, H, 2), np.float32)
-    white = np.ones((W, H, 3), np.float32)
+    z2 = np.zeros((2, W, H), np.float32)
+    white = np.ones((3, W, H), np.float32)
     delta, _ = mass_transfer(
         z2, layers, z, z, z, z2, z, z2, white, white, white, white, SCALE, p
     )
     delta = np.asarray(delta)
-    inner = delta[1:-1, 1:-1]
+    inner = delta[:, 1:-1, 1:-1]
     # sediment loss never exceeds the available sediment
-    assert (inner[..., 1] >= -thin - 1e-7).all()
+    assert (inner[1] >= -thin - 1e-7).all()
     # and the remaining erosion goes to bedrock
-    assert (inner[..., 0] < 0.0).any()
+    assert (inner[0] < 0.0).any()
 
 
 def test_transport_fluvial_shapes_and_rain(layers):
@@ -127,17 +128,17 @@ def test_transport_fluvial_shapes_and_rain(layers):
     downstream (accumulation along the flow)."""
     p = soil.param_t()
     p.maxage = 64
-    W, H = layers.shape[:2]
+    W, H = layers.shape[1:]
     rain = np.ones((W, H), np.float32)
     z = np.zeros((W, H), np.float32)
-    z2 = np.zeros((W, H, 2), np.float32)
-    white = np.ones((W, H, 3), np.float32)
+    z2 = np.zeros((2, W, H), np.float32)
+    white = np.ones((3, W, H), np.float32)
     dis, mas, mom, alb = soil.transport_fluvial(
         layers, rain, z, z, z2, white, SCALE, p
     )
     dis = np.asarray(dis)
     assert dis.shape == (W, H)
-    assert np.asarray(mom).shape == (W, H, 2)
+    assert np.asarray(mom).shape == (2, W, H)
     assert (dis > 0.0).all()
     # terrain slopes down in -x? bed has +x ramp -> flow toward -x;
     # downstream (small x) cells should accumulate more water on average.
@@ -149,7 +150,7 @@ def test_erode_step_runs_and_conserves_sanity(layers):
     p.maxage = 32
     p.timeStep = 100.0
     state = soil.ErosionState.zeros(
-        layers.shape[:2], height=layers[..., 0], sediment=layers[..., 1]
+        layers.shape[1:], height=layers[0], sediment=layers[1]
     )
     out = soil.erode(state, SCALE, p, steps=2)
     h = np.asarray(out.height)
@@ -157,7 +158,7 @@ def test_erode_step_runs_and_conserves_sanity(layers):
     assert np.isfinite(np.asarray(out.discharge)).all()
     assert np.isfinite(np.asarray(out.momentum)).all()
     # terrain actually changed
-    assert (np.abs(h - (layers[..., 0] + layers[..., 1])) > 0).any()
+    assert (np.abs(h - (layers[0] + layers[1])) > 0).any()
 
 
 def test_transport_particles_close_to_field():
@@ -171,11 +172,11 @@ def test_transport_particles_close_to_field():
     W, H = 24, 24
     x = np.linspace(1, 0, W, dtype=np.float32)[:, None]
     bed = np.broadcast_to(x, (W, H)).astype(np.float32)
-    layers = np.stack([bed, np.zeros((W, H), np.float32)], axis=-1)
+    layers = np.stack([bed, np.zeros((W, H), np.float32)], axis=0)
     rain = np.ones((W, H), np.float32)
     z = np.zeros((W, H), np.float32)
-    z2 = np.zeros((W, H, 2), np.float32)
-    white = np.ones((W, H, 3), np.float32)
+    z2 = np.zeros((2, W, H), np.float32)
+    white = np.ones((3, W, H), np.float32)
 
     dis_f, *_ = soil.transport_fluvial(layers, rain, z, z, z2, white, SCALE, p, method="field")
     dis_p, *_ = soil.transport_fluvial(

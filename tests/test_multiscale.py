@@ -16,9 +16,9 @@ def _init_state(res):
 def test_resize_state_resamples_all_fields():
     st = _init_state((32, 32))
     st2 = soil.resize_state(st, (64, 48))
-    assert st2.layers.shape == (64, 48, 2)
-    assert st2.momentum.shape == (64, 48, 2)
-    assert st2.albedo_surface.shape == (64, 48, 3)
+    assert st2.layers.shape == (2, 64, 48)
+    assert st2.momentum.shape == (2, 64, 48)
+    assert st2.albedo_surface.shape == (3, 64, 48)
     # Bilinear upsample preserves the mean height closely.
     np.testing.assert_allclose(
         float(st2.height.mean()), float(st.height.mean()), rtol=1e-2

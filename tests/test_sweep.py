@@ -23,26 +23,27 @@ def _problem(key, C, W, H):
     k1, k2, k3 = jax.random.split(key, 3)
     E = jnp.abs(jax.random.normal(k1, (C, W, H)))
     att = jax.random.uniform(k2, (C, W, H), minval=0.3, maxval=0.99)
-    d = jax.random.normal(k3, (W, H, 2))
-    dirs = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-30)
-    return E, att, dirs
+    d = jax.random.normal(k3, (2, W, H))
+    n = jnp.maximum(jnp.sqrt(d[0] ** 2 + d[1] ** 2), 1e-30)
+    return E, att, d[0] / n, d[1] / n
 
 
 def test_push_cf_matches_channel_last():
     """upwind_push_cf (kernel layout) == upwind_push (public layout)."""
-    E, att, dirs = _problem(jax.random.PRNGKey(3), 4, 40, 56)
+    E, att, vx, vy = _problem(jax.random.PRNGKey(3), 4, 40, 56)
     payload = att * E
+    dirs = jnp.stack([vx, vy], axis=-1)
     want = upwind_push(jnp.moveaxis(payload, 0, -1), dirs)
-    got = jnp.moveaxis(upwind_push_cf(payload, dirs), 0, -1)
+    got = jnp.moveaxis(upwind_push_cf(payload, vx, vy), 0, -1)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 @pytest.mark.parametrize("iters", [1, 8, 16, 23])
 def test_sweep_matches_reference_small(iters):
     """Single-tile grid (domain smaller than a tile)."""
-    E, att, dirs = _problem(jax.random.PRNGKey(0), 3, 64, 80)
-    want = transport_sweep_reference(E, att, dirs, iters)
-    got = transport_sweep(E, att, dirs, iters, interpret=True)
+    E, att, vx, vy = _problem(jax.random.PRNGKey(0), 3, 64, 80)
+    want = transport_sweep_reference(E, att, vx, vy, iters)
+    got = transport_sweep(E, att, vx, vy, iters, interpret=True)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-6, atol=1e-5
     )
@@ -50,9 +51,9 @@ def test_sweep_matches_reference_small(iters):
 
 def test_sweep_matches_reference_multitile():
     """Several tiles in both dims + a remainder-rounds call (iters=19)."""
-    E, att, dirs = _problem(jax.random.PRNGKey(1), 2, 300, 280)
-    want = transport_sweep_reference(E, att, dirs, 19)
-    got = transport_sweep(E, att, dirs, 19, interpret=True)
+    E, att, vx, vy = _problem(jax.random.PRNGKey(1), 2, 420, 300)
+    want = transport_sweep_reference(E, att, vx, vy, 19)
+    got = transport_sweep(E, att, vx, vy, 19, interpret=True)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-6, atol=1e-5
     )
@@ -63,8 +64,8 @@ def test_sweep_zero_flow_is_zero():
     W = H = 48
     E = jnp.ones((1, W, H))
     att = jnp.full((1, W, H), 0.9)
-    dirs = jnp.zeros((W, H, 2))
-    got = transport_sweep(E, att, dirs, 8, interpret=True)
+    z = jnp.zeros((W, H))
+    got = transport_sweep(E, att, z, z, 8, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), 0.0)
 
 
@@ -73,9 +74,9 @@ def test_sweep_outflow_lost_at_boundary():
     W = H = 40
     E = jnp.ones((1, W, H))
     att = jnp.ones((1, W, H))
-    dirs = jnp.stack([jnp.ones((W, H)), jnp.zeros((W, H))], axis=-1)
-    got = np.asarray(transport_sweep(E, att, dirs, 8, interpret=True))
-    want = np.asarray(transport_sweep_reference(E, att, dirs, 8))
+    vx, vy = jnp.ones((W, H)), jnp.zeros((W, H))
+    got = np.asarray(transport_sweep(E, att, vx, vy, 8, interpret=True))
+    want = np.asarray(transport_sweep_reference(E, att, vx, vy, 8))
     np.testing.assert_allclose(got, want, rtol=1e-6)
     # Row x receives sum of E from rows x-8..x-1 -> row 0 gets nothing.
     assert got[0, 0].max() == 0.0
