@@ -230,29 +230,47 @@ def graph_to_slots(graph, edge: int = D8):
     return slot
 
 
-def _auto_method(method):
+def _auto_method(method, shape):
     if method is not None:
         return method
-    # Pointer-doubling is O(log N) random-access gathers — fast on CPU,
-    # pathological on TPU (serialized 1-D gathers). The dense one-hot
-    # stencil iteration (ops/graph_sweep.py) wins there by ~40x.
-    return "stencil" if jax.default_backend() == "tpu" else "doubling"
+    if jax.default_backend() != "tpu":
+        # Pointer-doubling is O(log N) random-access gathers — fast on CPU.
+        return "doubling"
+    # On TPU, gathers serialize: use dense stencil fixed points. Beyond one
+    # tile, the two-level local/boundary split (ops/graph_tiled.py) caps
+    # the round count at the in-tile path length.
+    from soillib_tpu.ops.graph_tiled import TILE
+
+    return "tiled" if max(shape) > TILE else "stencil"
+
+
+def _accumulate_dispatch(g, value, w, edge, method, max_iters):
+    method = _auto_method(method, g.shape)
+    if method == "tiled":
+        from soillib_tpu.ops.graph_tiled import accumulate_tiled
+
+        return accumulate_tiled(graph_to_slots(g, edge), value, w, edge,
+                                max_iters)
+    if method == "stencil":
+        from soillib_tpu.ops.graph_sweep import accumulate_stencil
+
+        return accumulate_stencil(graph_to_slots(g, edge), value, w, edge,
+                                  max_iters)
+    if method == "doubling":
+        if w is None:
+            w = _edge_weights(g, None, edge)
+        return _accumulate_doubling(g, value, w)
+    raise ValueError(f"unknown accumulation method: {method!r}")
 
 
 def accumulate(graph, value, edge: int = D8, *, method: str = None,
                max_iters: int = None):
     """Upstream accumulation: out[j] = value[j] + Σ_{i upstream of j} value[i].
-    Ref: graph.cu:527-584 (rake-compress; here pointer-doubling on CPU, a
-    dense one-hot stencil fixed point on TPU — see ops/graph_sweep.py)."""
+    Ref: graph.cu:527-584 (rake-compress). Methods: "doubling" (O(log N)
+    gathers; CPU default), "stencil" (dense one-hot fixed point), "tiled"
+    (two-level local/boundary split; TPU default past one tile)."""
     g = jnp.asarray(graph)
-    if _auto_method(method) == "stencil":
-        from soillib_tpu.ops.graph_sweep import accumulate_stencil
-
-        return accumulate_stencil(
-            graph_to_slots(g, edge), value, None, edge, max_iters
-        )
-    w = _edge_weights(g, None, edge)
-    return _accumulate_doubling(g, value, w)
+    return _accumulate_dispatch(g, value, None, edge, method, max_iters)
 
 
 def accumulate_decay(graph, source, decay, edge: int = D8, *,
@@ -262,13 +280,7 @@ def accumulate_decay(graph, source, decay, edge: int = D8, *,
     Ref: graph.cu:586-593."""
     g = jnp.asarray(graph)
     w = _edge_weights(g, decay, edge)
-    if _auto_method(method) == "stencil":
-        from soillib_tpu.ops.graph_sweep import accumulate_stencil
-
-        return accumulate_stencil(
-            graph_to_slots(g, edge), source, w, edge, max_iters
-        )
-    return _accumulate_doubling(g, source, w)
+    return _accumulate_dispatch(g, source, w, edge, method, max_iters)
 
 
 def upstream_mask(graph, targets):

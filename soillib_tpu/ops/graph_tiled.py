@@ -1,0 +1,191 @@
+"""Two-level (tiled) flow accumulation — Barnes-style local/global split.
+
+The plain stencil fixed point (ops/graph_sweep.py) needs L rounds, L =
+longest drainage path — O(W+H) or worse for big rivers. Following the
+tile-based decomposition of Barnes' trillion-cell flow accumulation
+(PAPERS.md, arxiv 1608.04431) and SURVEY.md §7's "block-local contraction
++ boundary-graph combine":
+
+  1. LOCAL:  cut every cross-tile edge and run the masked one-hot stencil
+     fixed point — all tiles in parallel, rounds bounded by the longest
+     IN-TILE path (≲ 2·TILE instead of L).
+  2. TRACE:  per cell, pull-propagate (also a one-hot stencil, gather-free:
+     the receiver is one of 8 neighbors) the in-tile chain's EXIT — the
+     entry cell it delivers to in the neighboring tile (X), and the path-
+     weight product (D).
+  3. COARSE: cross-tile fluxes close over BOUNDARY cells only (an entry
+     cell's chain exits at another boundary cell), a ~4N/TILE-node linear
+     system solved by pointer-doubling on compact arrays (gathers on tiny
+     arrays are cheap even on TPU).
+  4. INJECT: place the converged entry fluxes back on the grid and run the
+     masked stencil once more to distribute them downstream in-tile.
+
+Exact for any per-donor edge weights (accumulate_decay's my_decay
+semantics included). All four phases are data-parallel; phases 1/2/4 are
+dense VPU stencils, phase 3 is O(#boundary · tiles-crossed) scalar work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from soillib_tpu.core.grid import D8, shifts_for
+from soillib_tpu.ops.graph_sweep import BLOCK, _push_once
+
+TILE = 128
+
+
+def _local_slot(W, H, slot, edge):
+    """Fold the tile decomposition into the slot graph: cross-tile edges
+    become -1 (roots of the LOCAL forest), so the local phases run the
+    plain one-hot push with no extra mask reads per round. Also returns
+    the cross-edge mask."""
+    shifts = shifts_for(edge)
+    x = jnp.arange(W)[:, None]
+    y = jnp.arange(H)[None, :]
+    tx, ty = x // TILE, y // TILE
+    cross = jnp.zeros((W, H), bool)
+    for d, (dx, dy) in enumerate(shifts):
+        same = (((x + int(dx)) // TILE) == tx) & (((y + int(dy)) // TILE) == ty)
+        cross = cross | ((slot == d) & ~same)
+    return jnp.where(cross, -1, slot), cross
+
+
+def _pull(value, slot, edge, fill):
+    """value[receiver(i)] per cell — gather-free (receiver is a neighbor):
+    select the d-rolled copy by the cell's own slot; `fill` at roots."""
+    shifts = shifts_for(edge)
+    out = jnp.full_like(value, fill)
+    for d, (dx, dy) in enumerate(shifts):
+        rolled = jnp.roll(value, (-int(dx), -int(dy)), axis=(0, 1))
+        out = jnp.where(slot == d, rolled, out)
+    return out
+
+
+def _fixed_point(step, init, max_iters):
+    """Iterate `step` until bitwise convergence, checked every BLOCK rounds."""
+    def block(c):
+        return jax.lax.fori_loop(0, BLOCK, lambda _, x: step(x), c)
+
+    def cond(carry):
+        cur, prev, it = carry
+        changed = jax.tree_util.tree_reduce(
+            jnp.logical_or,
+            jax.tree_util.tree_map(lambda a, b: jnp.any(a != b), cur, prev),
+        )
+        return changed & (it < max_iters)
+
+    def body(carry):
+        cur, _, it = carry
+        return block(cur), cur, it + BLOCK
+
+    first = block(init)
+    out, _, _ = jax.lax.while_loop(
+        cond, body, (first, init, jnp.int32(BLOCK))
+    )
+    return out
+
+
+def _boundary_indices(W, H):
+    """Static flat indices of all tile-boundary cells (x-major order)."""
+    x = np.arange(W)[:, None]
+    y = np.arange(H)[None, :]
+    bx = (x % TILE == 0) | (x % TILE == TILE - 1) | (x == W - 1)
+    by = (y % TILE == 0) | (y % TILE == TILE - 1) | (y == H - 1)
+    mask = np.broadcast_to(bx | by, (W, H))
+    return np.flatnonzero(mask.reshape(-1)).astype(np.int32)
+
+
+def accumulate_tiled(direction_slots, value, weight=None, edge: int = D8,
+                     max_iters: int = None):
+    """Exact upstream accumulation via the two-level scheme.
+
+    Args match ops.graph_sweep.accumulate_stencil; result is identical to
+    the single-level fixed point / pointer doubling.
+    """
+    slot = jnp.asarray(direction_slots)
+    v = jnp.asarray(value, jnp.float32)
+    W, H = v.shape
+    if W <= TILE and H <= TILE:
+        from soillib_tpu.ops.graph_sweep import accumulate_stencil
+
+        return accumulate_stencil(slot, v, weight, edge, max_iters)
+    if max_iters is None:
+        max_iters = 8 * TILE
+    w = jnp.ones_like(v) if weight is None else jnp.asarray(weight, jnp.float32)
+    shifts = shifts_for(edge)
+    is_root = slot < 0
+    lslot, cross = _local_slot(W, H, slot, edge)
+
+    # ---- Phase 1: local accumulation (cross-tile edges cut) --------------
+    G_loc = _fixed_point(
+        lambda G: _push_once(w * (v + G), lslot, edge), jnp.zeros_like(v),
+        max_iters,
+    )
+
+    # ---- Phase 2: chain exit pointer X and delivery coefficient D --------
+    # Per cell: flux arriving at it is delivered to entry cell X (global
+    # flat index in the NEIGHBOR tile) with weight D; roots deliver nowhere.
+    n = jnp.arange(W * H, dtype=jnp.int32).reshape(W, H)
+    recv = jnp.zeros((W, H), jnp.int32)
+    for d, (dx, dy) in enumerate(shifts):
+        rolled = jnp.roll(n, (-int(dx), -int(dy)), axis=(0, 1))
+        recv = jnp.where(slot == d, rolled, recv)
+
+    X0 = jnp.where(cross, recv, -1)
+    D0 = jnp.where(cross, w, jnp.where(is_root, 0.0, w))
+
+    def trace(c):
+        X, D = c
+        Xr = _pull(X, slot, edge, -1)
+        Dr = _pull(D, slot, edge, 0.0)
+        in_tile = ~cross & ~is_root
+        return (
+            jnp.where(in_tile, Xr, X0),
+            jnp.where(in_tile, w * Dr, D0),
+        )
+
+    X, D = _fixed_point(trace, (X0, D0), max_iters)
+
+    # ---- Phase 3: coarse boundary system (compact, pointer-doubled) ------
+    bidx = jnp.asarray(_boundary_indices(W, H))            # (K,) static
+    K = bidx.shape[0]
+    lut = jnp.zeros(W * H, jnp.int32).at[bidx].set(
+        jnp.arange(K, dtype=jnp.int32)
+    )
+
+    out_flux = jnp.where(cross, w * (v + G_loc), 0.0)      # flux per cross-edge
+    I0_grid = jnp.zeros(W * H, jnp.float32).at[
+        jnp.where(cross, recv, 0).reshape(-1)
+    ].add(jnp.where(cross, out_flux, 0.0).reshape(-1))
+
+    I0 = I0_grid[bidx]                                     # entry fluxes
+    Xg = X.reshape(-1)[bidx]                               # exit target (global)
+    Dc = D.reshape(-1)[bidx]
+    has_exit = Xg >= 0
+    P = jnp.where(has_exit, lut[jnp.where(has_exit, Xg, 0)],
+                  jnp.arange(K, dtype=jnp.int32))
+    Wc = jnp.where(has_exit, Dc, 0.0)
+
+    # F = total flux entering each boundary cell from other tiles:
+    # F = I0 + C F with C[P[b], b] = Wc[b]; solved by operator doubling.
+    rounds = int(np.ceil(np.log2(max(K, 2))))
+    def double(_, c):
+        F, P_, W_ = c
+        F = F + jnp.zeros_like(F).at[P_].add(W_ * F)
+        W_ = W_ * W_[P_]
+        P_ = P_[P_]
+        return F, P_, W_
+
+    F, _, _ = jax.lax.fori_loop(0, rounds, double, (I0, P, Wc))
+
+    # ---- Phase 4: inject entry fluxes and distribute in-tile -------------
+    F_grid = jnp.zeros(W * H, jnp.float32).at[bidx].set(F).reshape(W, H)
+    G_inj = _fixed_point(
+        lambda G: _push_once(w * (F_grid + G), lslot, edge),
+        jnp.zeros_like(v), max_iters,
+    )
+    return v + G_loc + F_grid + G_inj

@@ -160,3 +160,29 @@ def test_accumulate_stencil_matches_doubling():
         got = soil.accumulate_decay(flow, rain, decay, edge, method="stencil")
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_accumulate_tiled_matches_doubling():
+    """Two-level (Barnes-style) accumulation == pointer-doubling, across
+    tile boundaries and with decay."""
+    import jax
+    import jax.numpy as jnp
+    import soillib_tpu as soil
+    key = jax.random.PRNGKey(11)
+    W, H = 200, 150  # > TILE in one dim once TILE=128
+    h = soil.fill_depressions(
+        jax.random.normal(key, (W, H)) * 3.0
+        + jnp.linspace(0, 5, W)[:, None]
+    )
+    rain = jnp.abs(jax.random.normal(jax.random.fold_in(key, 1), (W, H))) + 0.1
+    for edge in (soil.d4, soil.d8):
+        flow = soil.steepest(h, edge)
+        want = soil.accumulate(flow, rain, edge, method="doubling")
+        got = soil.accumulate(flow, rain, edge, method="tiled")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-4)
+        decay = jnp.full((W, H), 0.98)
+        want = soil.accumulate_decay(flow, rain, decay, edge, method="doubling")
+        got = soil.accumulate_decay(flow, rain, decay, edge, method="tiled")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-4)
