@@ -68,7 +68,7 @@ def main():
         n = min(args.report, args.steps - done)
         with soil.timer(soil.ms) as t:
             sim.step(n)
-            jax.block_until_ready(sim.state.layers)
+            t.wait(sim.state.layers)
         done += n
         print(f"steps {done:4d}/{args.steps}: {t.count / n:.2f} ms/step")
 

@@ -46,6 +46,14 @@ class timer:
     def __exit__(self, *exc):
         if self._pending:
             jax.block_until_ready(self._pending)
+            # On tunneled/async PJRT backends block_until_ready alone does
+            # not flush the dispatch queue — pull one scalar to be sure
+            # the device work actually finished (see CLAUDE.md).
+            leaf = jax.tree_util.tree_leaves(self._pending)[0]
+            try:
+                float(leaf.ravel()[0])  # one-element device->host pull
+            except (TypeError, AttributeError, IndexError):
+                pass
         else:
             jax.effects_barrier()
         self._elapsed = time.perf_counter() - self._start

@@ -255,6 +255,12 @@ def _apply_predictor(block: np.ndarray, predictor: int):
 def read(path: str):
     """Read first image -> (array (H, W) or (H, W, S), TiffInfo)."""
     info = peek(path)
+    if info.samples > 1 and info.tags.get(TAG_PLANAR, 1) == 2:
+        # Planar-separate is intentionally unsupported (module docstring);
+        # decoding it as chunky would silently scramble the bands.
+        raise ValueError(
+            "planar-separate (PlanarConfiguration=2) TIFFs are not supported"
+        )
     endian = info.endian
     dtype = np.dtype(_dtype_of(info)).newbyteorder(endian)
     H, W, S = info.height, info.width, info.samples

@@ -426,8 +426,10 @@ def _fluvial_particles(
         speed = jnp.where(alive[:, None], new_speed, speed)
         return flux, pos, ind, att, speed, alive
 
+    # The reference loop `while(... && ++iter < maxage)` executes at most
+    # maxage - 1 iterations (erosion.cu:101).
     flux, *_ = jax.lax.fori_loop(
-        0, int(p.maxage), body, (flux0, pos, ind, att0, speed, alive)
+        0, max(int(p.maxage) - 1, 0), body, (flux0, pos, ind, att0, speed, alive)
     )
     return flux.reshape(W, H, 7)
 
@@ -648,8 +650,9 @@ def _debris_particles(layers, mass, momentum, albedo_surface, scale, p, key):
         speed = jnp.where(alive[:, None], new_speed, speed)
         return flux, pos, ind, att, speed, alive
 
+    # `++iter < maxage` -> maxage - 1 iterations (erosion.cu:281-style loop).
     flux, *_ = jax.lax.fori_loop(
-        0, int(p.maxage), body, (flux0, pos, ind, att0, speed, alive)
+        0, max(int(p.maxage) - 1, 0), body, (flux0, pos, ind, att0, speed, alive)
     )
     return flux.reshape(W, H, 6)
 

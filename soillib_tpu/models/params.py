@@ -79,6 +79,14 @@ class ErosionParams:
 
     def __setattr__(self, name, value):
         name = _ALIASES.get(name, name)
+        if name not in _FIELD_NAMES:
+            # The reference's nanobind param_t rejects unknown attributes;
+            # silently accepting a typo'd parameter would leave the real
+            # field (and the jit cache key) untouched.
+            raise AttributeError(
+                f"ErosionParams has no parameter {name!r} "
+                f"(known: {sorted(_FIELD_NAMES)})"
+            )
         if name == "force" and not isinstance(value, tuple):
             value = (float(value[0]), float(value[1]))
         object.__setattr__(self, name, value)
@@ -103,6 +111,8 @@ class ErosionParams:
             setattr(new, k, v)
         return new
 
+
+_FIELD_NAMES = {f.name for f in dataclasses.fields(ErosionParams)}
 
 # Reference-compatible constructor name (python binding: soil.param_t()).
 param_t = ErosionParams

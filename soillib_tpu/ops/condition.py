@@ -35,7 +35,8 @@ def fill_depressions(height, edge: int = D8, eps: float = 1e-4,
       edge: D4 or D8 connectivity.
       eps: per-unit-distance epsilon gradient imposed on filled flats so
         `steepest`/`direction` resolve across them (resolve_flats analog).
-      max_iters: optional hard bound on sweeps (default 4*(W+H)).
+      max_iters: optional hard bound on sweeps (default W*H, the true
+        worst case; the convergence test exits far earlier in practice).
 
     Returns:
       (W, H) conditioned DEM, >= height everywhere, equal outside
@@ -46,7 +47,7 @@ def fill_depressions(height, edge: int = D8, eps: float = 1e-4,
     shifts = shifts_for(edge)
     lens = shift_lengths(edge)
     if max_iters is None:
-        max_iters = 4 * (W + H)
+        max_iters = W * H
 
     hole = jnp.isnan(h)
     hs = jnp.where(hole, -jnp.inf, h)

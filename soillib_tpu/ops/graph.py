@@ -169,8 +169,14 @@ def slope(tensor, flow, scale):
 def _edge_weights(graph, decay, edge: int):
     """Per-cell edge weight w_i for the edge i -> recv[i].
 
-    decay: None (weight 1), scalar, or (W, H) tensor. Diagonal edges (D8)
-    use decay^1.414, evaluated at the donor cell (my_decay, graph.cu:383-420).
+    decay: None (weight 1), scalar, or (W, H) tensor, evaluated at the
+    donor cell. The decay^1.414 exponent follows the reference FAITHFULLY:
+    my_decay (graph.cu:383-420) runs AFTER __count compacts each cell's
+    donor list (graph.cu:351-380), so the exponent applies to donors in
+    COMPACTED slots >= 4 — i.e. the 5th+ donor of the receiving cell in
+    direction-slot order — NOT to geometrically-diagonal edges (a cell
+    with <= 4 donors never gets the exponent). This is a quirk of the
+    reference's compaction and is reproduced on purpose.
     """
     W, H = graph.shape
     if decay is None:
@@ -179,14 +185,31 @@ def _edge_weights(graph, decay, edge: int):
     if d.ndim == 0:
         d = jnp.full((W, H), d)
     if edge == D4:
+        # my_decay<D4>: all compacted slots < 4 -> never the exponent.
         return d
-    # Diagonal iff both coordinates change between cell and receiver.
-    n = jnp.arange(W * H, dtype=jnp.int32).reshape(W, H)
-    recv = jnp.where(graph < 0, n, graph)
-    dx = recv // H - n // H
-    dy = recv % H - n % H
-    diagonal = (dx != 0) & (dy != 0)
-    return jnp.where(diagonal, jnp.power(d, 1.414), d)
+
+    slot = graph_to_slots(graph, edge)
+    shifts = shifts_for(edge)
+    # P_d[j] = 1 if j has a donor via direction d (the donor sits at
+    # j - shift_d and its slot is d).
+    P = [
+        jnp.roll((slot == dd).astype(jnp.int32), (int(dx), int(dy)),
+                 axis=(0, 1))
+        for dd, (dx, dy) in enumerate(shifts)
+    ]
+    # prefix_d[j] = number of donors of j with slot < d.
+    prefix = []
+    acc = jnp.zeros((W, H), jnp.int32)
+    for dd in range(len(shifts)):
+        prefix.append(acc)
+        acc = acc + P[dd]
+    # Donor i's compacted position = prefix_{slot(i)}[recv(i)] — pull the
+    # receiver's prefix along the donor's own direction.
+    pos = jnp.zeros((W, H), jnp.int32)
+    for dd, (dx, dy) in enumerate(shifts):
+        pulled = jnp.roll(prefix[dd], (-int(dx), -int(dy)), axis=(0, 1))
+        pos = jnp.where(slot == dd, pulled, pos)
+    return jnp.where((slot >= 0) & (pos >= 4), jnp.power(d, 1.414), d)
 
 
 def _accumulate_doubling(graph, value, weight):

@@ -61,7 +61,10 @@ def accumulate_stencil(direction_slots, value, weight=None, edge: int = D8,
       weight: optional (W, H) per-donor edge weight (already including the
         diagonal exponent — use ops.graph._edge_weights).
       edge: D4/D8.
-      max_iters: hard bound on rounds (default 4*(W+H)).
+      max_iters: hard bound on rounds. Default W*H — the true worst-case
+        path length (a descending path visits each cell at most once), so
+        the result is always exact; the convergence check exits far
+        earlier on real terrain.
 
     Returns (W, H) float32: value + weighted upstream sum.
     """
@@ -69,7 +72,7 @@ def accumulate_stencil(direction_slots, value, weight=None, edge: int = D8,
     v = jnp.asarray(value, jnp.float32)
     W, H = v.shape
     if max_iters is None:
-        max_iters = 4 * (W + H)
+        max_iters = W * H
     w = jnp.ones_like(v) if weight is None else jnp.asarray(weight, jnp.float32)
 
     def block(G):

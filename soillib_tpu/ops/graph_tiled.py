@@ -8,7 +8,8 @@ tile-based decomposition of Barnes' trillion-cell flow accumulation
 
   1. LOCAL:  cut every cross-tile edge and run the masked one-hot stencil
      fixed point — all tiles in parallel, rounds bounded by the longest
-     IN-TILE path (≲ 2·TILE instead of L).
+     IN-TILE path (typically a few·TILE instead of L; worst case TILE²
+     for a serpentine path, which the convergence check handles exactly).
   2. TRACE:  per cell, pull-propagate (also a one-hot stencil, gather-free:
      the receiver is one of 8 neighbors) the in-tile chain's EXIT — the
      entry cell it delivers to in the neighboring tile (X), and the path-
@@ -114,7 +115,9 @@ def accumulate_tiled(direction_slots, value, weight=None, edge: int = D8,
 
         return accumulate_stencil(slot, v, weight, edge, max_iters)
     if max_iters is None:
-        max_iters = 8 * TILE
+        # True worst case for an in-tile path (visits each tile cell once);
+        # the convergence check exits at the actual longest path.
+        max_iters = TILE * TILE
     w = jnp.ones_like(v) if weight is None else jnp.asarray(weight, jnp.float32)
     shifts = shifts_for(edge)
     is_root = slot < 0

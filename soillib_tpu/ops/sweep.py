@@ -20,12 +20,15 @@ semantics (path.cu:104).
 
 Layout & alignment: channel-FIRST (C, W, H) so the minor (lane) dim is
 spatial. Mosaic requires DMA slice offsets AND sizes aligned to the (8,
-128) tile in the last two dims, so:
-  * rows (sublanes): tile 240, window 256 = 240 + 2K  (240 and 256 % 8 == 0)
-  * cols (lanes):    tile 256, window *384* (the next 128-multiple above
-    256 + 2K = 272) loaded at offset j*256 — the first 272 columns are the
-    real window, the trailing 112 are in-bounds slack covered by the right
-    zero-pad; stale/slack values never reach the interior within K rounds.
+128) tile in the last two dims, so (see the constants below):
+  * rows (sublanes): tile TILE_X = SX - 2K, window SX (both % 8 == 0;
+    offsets i*TILE_X stay 8-aligned).
+  * cols (lanes):    tile TILE_Y (a 128-multiple, so offsets j*TILE_Y are
+    lane-aligned), window SY = the next 128-multiple above TILE_Y + 2K,
+    loaded at offset j*TILE_Y — the first TILE_Y + 2K columns are the real
+    window, the trailing SY - TILE_Y - 2K are in-bounds slack covered by
+    the right zero-pad (_YPAD_R); stale/slack values never reach the
+    interior within K rounds.
 Outflow mask-weights are computed in-kernel from vx, vy (two fewer HBM
 streams than passing four masks).
 
@@ -302,6 +305,29 @@ def _diffable_bwd(iters, res, ct):
 
 
 _diffable_sweep.defvjp(_diffable_fwd, _diffable_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def diffable_advance(G0, E, att, vx, vy, iters):
+    """transport_advance with a jnp reverse pass (the sharded K-blocked
+    exchange calls this so jax.grad works through pallas on TPU)."""
+    return transport_advance(G0, E, att, vx, vy, iters)
+
+
+def _adv_fwd(G0, E, att, vx, vy, iters):
+    return transport_advance(G0, E, att, vx, vy, iters), (G0, E, att, vx, vy)
+
+
+def _adv_bwd(iters, res, ct):
+    G0, E, att, vx, vy = res
+    _, vjp = jax.vjp(
+        lambda g, e, a, x, y: transport_advance_reference(g, e, a, x, y, iters),
+        G0, E, att, vx, vy,
+    )
+    return vjp(ct)
+
+
+diffable_advance.defvjp(_adv_fwd, _adv_bwd)
 
 
 def run_transport(E, att, vx, vy, iters: int):

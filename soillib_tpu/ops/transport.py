@@ -52,13 +52,21 @@ def stepsize(pos, d):
     dx, dy = d[..., 0], d[..., 1]
     x_neg = jnp.floor(px)
     y_neg = jnp.floor(py)
-    # (bound - p) / d; d == 0 gives ±inf which the max/min resolve like CUDA.
-    tx = jnp.minimum(
-        jnp.maximum((x_neg - px) / dx, (x_neg + 1.0 - px) / dx), _SQRT2
-    )
-    ty = jnp.minimum(
-        jnp.maximum((y_neg - py) / dy, (y_neg + 1.0 - py) / dy), _SQRT2
-    )
+
+    # CUDA fmaxf/fminf return the non-NaN operand when one side is NaN
+    # (0/0 arises when a coordinate sits exactly on a lattice line with a
+    # zero direction component); jnp.maximum would propagate the NaN and
+    # silently kill the particle.
+    def fmax(a, b):
+        return jnp.where(jnp.isnan(a), b, jnp.where(jnp.isnan(b), a,
+                                                    jnp.maximum(a, b)))
+
+    def fmin(a, b):
+        return jnp.where(jnp.isnan(a), b, jnp.where(jnp.isnan(b), a,
+                                                    jnp.minimum(a, b)))
+
+    tx = fmin(fmax((x_neg - px) / dx, (x_neg + 1.0 - px) / dx), _SQRT2)
+    ty = fmin(fmax((y_neg - py) / dy, (y_neg + 1.0 - py) / dy), _SQRT2)
     return 0.5 * (tx + ty)
 
 
@@ -240,8 +248,10 @@ def _solve_particles(flow, source, decay, scale, count, key, maxstep):
         att = jnp.where(alive, new_att, att)
         return flux, pos, ind, att, alive
 
+    # `++step < maxstep` -> maxstep - 1 iterations (path.cu:104).
     flux, *_ = jax.lax.fori_loop(
-        0, maxstep, body, (flux0, pos, ind, jnp.ones((N,), jnp.float32), alive0)
+        0, max(maxstep - 1, 0), body,
+        (flux0, pos, ind, jnp.ones((N,), jnp.float32), alive0),
     )
     G = flux.reshape(W, H, K) / float(count)
     return G if source.ndim == 3 else G[..., 0]

@@ -144,7 +144,7 @@ class ShardHalo(Halo):
         vyp = self.pad_cf(vy, 0.0, K)
 
         advance = (
-            S.transport_advance if S.use_pallas()
+            S.diffable_advance if S.use_pallas()
             else S.transport_advance_reference
         )
 

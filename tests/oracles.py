@@ -7,6 +7,8 @@ an independent formulation. Citations refer to /root/reference.
 
 import numpy as np
 
+from soillib_tpu.core.grid import D4_SHIFTS, D8_SHIFTS
+
 D4 = [(-1, 0), (0, -1), (0, 1), (1, 0)]
 D8 = D4 + [(-1, -1), (-1, 1), (1, -1), (1, 1)]
 
@@ -56,14 +58,36 @@ def accumulate_oracle(graph, value, decay=None, edge=1):
     downstream by recursion (equivalent to graph.cu rake-compress result).
 
     A[j] = value[j] + sum_{i: recv[i]=j} w_i * A[i],
-    w_i = decay[i] (or 1), ^1.414 on diagonal hops.
+    w_i = decay[i] (or 1). The ^1.414 exponent follows the reference's
+    my_decay-after-compaction semantics (graph.cu:351-420): each receiving
+    cell's donors are ordered by the donor's direction slot; the exponent
+    applies only to donors in compacted positions >= 4 (so a cell with
+    <= 4 donors never applies it), and never for D4.
     """
     W, H = graph.shape
     g = graph.reshape(-1)
     v = value.reshape(-1).astype(np.float64)
     N = W * H
 
-    # Edge weights
+    shifts = D8_SHIFTS if edge == 1 else D4_SHIFTS
+
+    def slot_of(i, j):
+        dx = j // H - i // H
+        dy = j % H - i % H
+        for k, (sx, sy) in enumerate(shifts):
+            if dx == sx and dy == sy:
+                return k
+        raise AssertionError("receiver is not a neighbor")
+
+    # Donor lists per receiver, ordered by donor slot (the __donor write
+    # order), then compacted (__count) before my_decay applies.
+    donors = {}
+    for i in range(N):
+        j = g[i]
+        if j < 0 or j == i:
+            continue
+        donors.setdefault(j, []).append((slot_of(i, j), i))
+
     w = np.ones(N)
     if decay is not None:
         d = decay.reshape(-1).astype(np.float64)
@@ -71,9 +95,13 @@ def accumulate_oracle(graph, value, decay=None, edge=1):
             j = g[i]
             if j < 0 or j == i:
                 continue
-            dx = abs(j // H - i // H)
-            dy = abs(j % H - i % H)
-            w[i] = d[i] ** 1.414 if (dx != 0 and dy != 0) else d[i]
+            w[i] = d[i]
+        if edge == 1:
+            for j, lst in donors.items():
+                lst.sort()
+                for pos, (_, i) in enumerate(lst):
+                    if pos >= 4:
+                        w[i] = d[i] ** 1.414
 
     # Topological push: process in order of decreasing upstream depth via
     # repeated relaxation over reverse topological order (DAG).
