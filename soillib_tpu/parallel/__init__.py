@@ -27,7 +27,7 @@ from soillib_tpu.parallel.mesh import (
 )
 from soillib_tpu.parallel.halo import ShardHalo, exchange_axis
 from soillib_tpu.parallel.erosion import make_sharded_erode_fn, sharded_erode
-from soillib_tpu.parallel import ops
+from soillib_tpu.parallel import graph, ops
 
 __all__ = [
     "AXES",
@@ -39,6 +39,7 @@ __all__ = [
     "grid_spec",
     "make_mesh",
     "make_sharded_erode_fn",
+    "graph",
     "ops",
     "shard_field",
     "shard_state",

@@ -228,3 +228,26 @@ def test_sharded_erosion_kblocked(mesh):
             np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
             rtol=1e-4, atol=1e-5, err_msg=f,
         )
+
+
+def test_distributed_accumulate(mesh):
+    """Block-local contraction + global boundary-graph combine ==
+    single-device accumulation (with and without decay)."""
+    key = jax.random.PRNGKey(13)
+    W, H = 64, 96
+    h = soil.fill_depressions(
+        jax.random.normal(key, (W, H)) * 3.0 + jnp.linspace(0, 5, W)[:, None]
+    )
+    rain = jnp.abs(jax.random.normal(jax.random.fold_in(key, 1), (W, H))) + 0.1
+    for edge in (soil.d4, soil.d8):
+        flow = soil.steepest(h, edge)
+        want = soil.accumulate(flow, rain, edge, method="doubling")
+        got = par.graph.accumulate(flow, rain, edge, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-4, err_msg=f"edge={edge}")
+        decay = jnp.full((W, H), 0.98)
+        want = soil.accumulate_decay(flow, rain, decay, edge, method="doubling")
+        got = par.graph.accumulate(flow, rain, edge, mesh=mesh, decay=decay)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-4,
+                                   err_msg=f"decay edge={edge}")
