@@ -40,13 +40,6 @@ class Halo:
     def crop(self, arr, radius: int = 1):
         raise NotImplementedError
 
-    def make_push(self, dirs):
-        """Returns push(payload) — one round of the upwind transport
-        operator (ops.transport.upwind_push) with flow directions `dirs`
-        fixed. The sharded implementation pre-pads `dirs` once so each
-        transport round costs a single payload exchange."""
-        raise NotImplementedError
-
     def global_offsets(self, block_shape):
         """(x0, y0, W_global, H_global) of this block in the global grid —
         for ops that emit global flat indices (the receiver graphs)."""
@@ -69,11 +62,6 @@ class NoHalo(Halo):
 
     def crop(self, arr, radius: int = 1):
         return arr
-
-    def make_push(self, dirs):
-        from soillib_tpu.ops.transport import upwind_push
-
-        return lambda payload: upwind_push(payload, dirs)
 
     def global_offsets(self, block_shape):
         return 0, 0, int(block_shape[0]), int(block_shape[1])

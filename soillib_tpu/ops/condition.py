@@ -42,7 +42,12 @@ def fill_depressions(height, edge: int = D8, eps: float = 1e-4,
       (W, H) conditioned DEM, >= height everywhere, equal outside
       depressions.
     """
-    h = jnp.asarray(height, jnp.float32)
+    # dtype-preserving: pass float64 input (with jax_enable_x64) to match
+    # the reference's note that float64 is required to reproduce external
+    # flow-direction state exactly (dem_condition.py:45-49).
+    h = jnp.asarray(height)
+    if not jnp.issubdtype(h.dtype, jnp.floating):
+        h = h.astype(jnp.float32)
     W, H = h.shape
     shifts = shifts_for(edge)
     lens = shift_lengths(edge)

@@ -92,16 +92,6 @@ class ShardHalo(Halo):
         r = radius
         return arr[r:-r, r:-r, ...]
 
-    def make_push(self, dirs):
-        from soillib_tpu.ops.transport import upwind_push
-
-        dirs_p = self.pad(dirs, 0.0)
-
-        def push(payload):
-            return self.crop(upwind_push(self.pad(payload, 0.0), dirs_p))
-
-        return push
-
     def global_offsets(self, block_shape):
         bw, bh = int(block_shape[0]), int(block_shape[1])
         x0 = lax.axis_index(self.ax_name) * bw

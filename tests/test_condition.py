@@ -62,3 +62,18 @@ def test_no_change_on_already_conditioned():
     h = np.broadcast_to(0.1 * x, (W, H)).copy()  # monotone ramp
     out = np.asarray(soil.fill_depressions(h))
     np.testing.assert_allclose(out, h, atol=1e-6)
+
+
+def test_fill_preserves_dtype():
+    """float64 input stays float64 (the reference's dem_condition.py:45-49
+    notes f64 is needed to reproduce external flow-direction state)."""
+    import jax
+
+    h = _bowl().astype(np.float64)
+    out = soil.fill_depressions(jnp.asarray(h))
+    expected = np.float64 if jax.config.jax_enable_x64 else np.float32
+    # without x64, jax silently downcasts on asarray — either way the op
+    # itself must not force a cast below the input precision
+    assert np.asarray(out).dtype == expected
+    h32 = _bowl()
+    assert np.asarray(soil.fill_depressions(h32)).dtype == np.float32
