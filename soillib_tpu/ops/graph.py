@@ -212,6 +212,38 @@ def _edge_weights(graph, decay, edge: int):
     return jnp.where((slot >= 0) & (pos >= 4), jnp.power(d, 1.414), d)
 
 
+def operator_doubling(F, P, W, rounds):
+    """Solve F <- F + C F for nilpotent C encoded by per-node pointer P and
+    weight W (C[P[i], i] = W[i]; roots self-point with W = 0), by operator
+    squaring: `rounds` = ceil(log2(#nodes)) rounds of
+
+        F += scatter_add(P, W * F);  W *= W[P];  P = P[P].
+
+    Shared by the pointer-doubling accumulator and the coarse boundary
+    solves of the tiled/distributed schemes."""
+    def body(_, c):
+        F, P_, W_ = c
+        F = F + jnp.zeros_like(F).at[P_].add(W_ * F)
+        W_ = W_ * W_[P_]
+        P_ = P_[P_]
+        return F, P_, W_
+
+    F, _, _ = jax.lax.fori_loop(0, rounds, body, (F, P, W))
+    return F
+
+
+def compact_index(ids, queries, fallback):
+    """Map global ids -> compact positions without a grid-sized lookup
+    table: sort + searchsorted (ids are unique). Queries < 0 (or absent)
+    map to `fallback` per-element."""
+    order = jnp.argsort(ids)
+    sorted_ids = ids[order]
+    q = jnp.where(queries >= 0, queries, 0)
+    pos = jnp.clip(jnp.searchsorted(sorted_ids, q), 0, ids.shape[0] - 1)
+    hit = (queries >= 0) & (sorted_ids[pos] == q)
+    return jnp.where(hit, order[pos], fallback)
+
+
 def _accumulate_doubling(graph, value, weight):
     """Upstream accumulation by pointer-doubling (see module docstring)."""
     W, H = graph.shape
@@ -224,17 +256,7 @@ def _accumulate_doubling(graph, value, weight):
     A = jnp.asarray(value, dtype=jnp.float32).reshape(-1)
 
     rounds = max(1, int(math.ceil(math.log2(max(N, 2)))))
-
-    def body(_, carry):
-        A, P, Wt = carry
-        contrib = Wt * A
-        A = A + jnp.zeros_like(A).at[P].add(contrib)
-        Wt = Wt * Wt[P]
-        P = P[P]
-        return A, P, Wt
-
-    A, P, Wt = jax.lax.fori_loop(0, rounds, body, (A, P, Wt))
-    return A.reshape(W, H)
+    return operator_doubling(A, P, Wt, rounds).reshape(W, H)
 
 
 def graph_to_slots(graph, edge: int = D8):

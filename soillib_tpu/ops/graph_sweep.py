@@ -34,6 +34,44 @@ from soillib_tpu.core.grid import D8, shifts_for
 BLOCK = 32  # rounds between convergence checks
 
 
+def _bits(a):
+    """Bit pattern of an array (NaN-safe equality: NaN != NaN would make a
+    value-compare convergence check spin for max_iters)."""
+    if jnp.issubdtype(a.dtype, jnp.floating):
+        nbits = a.dtype.itemsize * 8
+        return jax.lax.bitcast_convert_type(a, jnp.dtype(f"int{nbits}"))
+    return a
+
+
+def changed(a, b):
+    """True if any element's BIT PATTERN differs — exact fixed-point test
+    that also terminates when NaNs have stabilized."""
+    return jnp.any(_bits(a) != _bits(b))
+
+
+def fixed_point(step, init, max_iters):
+    """Iterate `step` until bitwise convergence, checked every BLOCK
+    rounds; `init` may be any pytree."""
+    def block(c):
+        return jax.lax.fori_loop(0, BLOCK, lambda _, x: step(x), c)
+
+    def cond(carry):
+        cur, prev, it = carry
+        ch = jax.tree_util.tree_reduce(
+            jnp.logical_or,
+            jax.tree_util.tree_map(changed, cur, prev),
+        )
+        return ch & (it < max_iters)
+
+    def body(carry):
+        cur, _, it = carry
+        return block(cur), cur, it + BLOCK
+
+    first = block(init)
+    out, _, _ = jax.lax.while_loop(cond, body, (first, init, jnp.int32(BLOCK)))
+    return out
+
+
 def _push_once(payload, slot, edge):
     """Dense one-hot push: each cell sends `payload` to its receiver.
 
@@ -74,23 +112,8 @@ def accumulate_stencil(direction_slots, value, weight=None, edge: int = D8,
     if max_iters is None:
         max_iters = W * H
     w = jnp.ones_like(v) if weight is None else jnp.asarray(weight, jnp.float32)
-
-    def block(G):
-        def body(_, G):
-            return _push_once(w * (v + G), slot, edge)
-
-        return jax.lax.fori_loop(0, BLOCK, body, G)
-
-    def cond(carry):
-        G, prev, it = carry
-        return jnp.any(G != prev) & (it < max_iters)
-
-    def body(carry):
-        G, _, it = carry
-        return block(G), G, it + BLOCK
-
-    G0 = block(jnp.zeros_like(v))
-    G, _, _ = jax.lax.while_loop(
-        cond, body, (G0, jnp.full_like(v, -1.0), jnp.int32(BLOCK))
+    G = fixed_point(
+        lambda G: _push_once(w * (v + G), slot, edge), jnp.zeros_like(v),
+        max_iters,
     )
     return v + G

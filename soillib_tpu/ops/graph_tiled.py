@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from soillib_tpu.core.grid import D8, shifts_for
-from soillib_tpu.ops.graph_sweep import BLOCK, _push_once
+from soillib_tpu.ops.graph_sweep import _push_once, fixed_point
 
 TILE = 128
 
@@ -63,30 +63,6 @@ def _pull(value, slot, edge, fill):
     for d, (dx, dy) in enumerate(shifts):
         rolled = jnp.roll(value, (-int(dx), -int(dy)), axis=(0, 1))
         out = jnp.where(slot == d, rolled, out)
-    return out
-
-
-def _fixed_point(step, init, max_iters):
-    """Iterate `step` until bitwise convergence, checked every BLOCK rounds."""
-    def block(c):
-        return jax.lax.fori_loop(0, BLOCK, lambda _, x: step(x), c)
-
-    def cond(carry):
-        cur, prev, it = carry
-        changed = jax.tree_util.tree_reduce(
-            jnp.logical_or,
-            jax.tree_util.tree_map(lambda a, b: jnp.any(a != b), cur, prev),
-        )
-        return changed & (it < max_iters)
-
-    def body(carry):
-        cur, _, it = carry
-        return block(cur), cur, it + BLOCK
-
-    first = block(init)
-    out, _, _ = jax.lax.while_loop(
-        cond, body, (first, init, jnp.int32(BLOCK))
-    )
     return out
 
 
@@ -124,7 +100,7 @@ def accumulate_tiled(direction_slots, value, weight=None, edge: int = D8,
     lslot, cross = _local_slot(W, H, slot, edge)
 
     # ---- Phase 1: local accumulation (cross-tile edges cut) --------------
-    G_loc = _fixed_point(
+    G_loc = fixed_point(
         lambda G: _push_once(w * (v + G), lslot, edge), jnp.zeros_like(v),
         max_iters,
     )
@@ -133,13 +109,12 @@ def accumulate_tiled(direction_slots, value, weight=None, edge: int = D8,
     # Per cell: flux arriving at it is delivered to entry cell X (global
     # flat index in the NEIGHBOR tile) with weight D; roots deliver nowhere.
     n = jnp.arange(W * H, dtype=jnp.int32).reshape(W, H)
-    recv = jnp.zeros((W, H), jnp.int32)
-    for d, (dx, dy) in enumerate(shifts):
-        rolled = jnp.roll(n, (-int(dx), -int(dy)), axis=(0, 1))
-        recv = jnp.where(slot == d, rolled, recv)
+    recv = _pull(n, slot, edge, 0)
 
     X0 = jnp.where(cross, recv, -1)
-    D0 = jnp.where(cross, w, jnp.where(is_root, 0.0, w))
+    # D = w on every edge-bearing cell, 0 at roots (cross cells are never
+    # roots, so no special case).
+    D0 = jnp.where(is_root, 0.0, w)
 
     def trace(c):
         X, D = c
@@ -151,14 +126,13 @@ def accumulate_tiled(direction_slots, value, weight=None, edge: int = D8,
             jnp.where(in_tile, w * Dr, D0),
         )
 
-    X, D = _fixed_point(trace, (X0, D0), max_iters)
+    X, D = fixed_point(trace, (X0, D0), max_iters)
 
     # ---- Phase 3: coarse boundary system (compact, pointer-doubled) ------
+    from soillib_tpu.ops.graph import compact_index, operator_doubling
+
     bidx = jnp.asarray(_boundary_indices(W, H))            # (K,) static
     K = bidx.shape[0]
-    lut = jnp.zeros(W * H, jnp.int32).at[bidx].set(
-        jnp.arange(K, dtype=jnp.int32)
-    )
 
     out_flux = jnp.where(cross, w * (v + G_loc), 0.0)      # flux per cross-edge
     I0_grid = jnp.zeros(W * H, jnp.float32).at[
@@ -168,26 +142,17 @@ def accumulate_tiled(direction_slots, value, weight=None, edge: int = D8,
     I0 = I0_grid[bidx]                                     # entry fluxes
     Xg = X.reshape(-1)[bidx]                               # exit target (global)
     Dc = D.reshape(-1)[bidx]
-    has_exit = Xg >= 0
-    P = jnp.where(has_exit, lut[jnp.where(has_exit, Xg, 0)],
-                  jnp.arange(K, dtype=jnp.int32))
-    Wc = jnp.where(has_exit, Dc, 0.0)
+    self_idx = jnp.arange(K, dtype=jnp.int32)
+    P = compact_index(bidx, Xg, self_idx)                  # no grid-size lut
+    Wc = jnp.where(Xg >= 0, Dc, 0.0)
 
     # F = total flux entering each boundary cell from other tiles:
     # F = I0 + C F with C[P[b], b] = Wc[b]; solved by operator doubling.
-    rounds = int(np.ceil(np.log2(max(K, 2))))
-    def double(_, c):
-        F, P_, W_ = c
-        F = F + jnp.zeros_like(F).at[P_].add(W_ * F)
-        W_ = W_ * W_[P_]
-        P_ = P_[P_]
-        return F, P_, W_
-
-    F, _, _ = jax.lax.fori_loop(0, rounds, double, (I0, P, Wc))
+    F = operator_doubling(I0, P, Wc, int(np.ceil(np.log2(max(K, 2)))))
 
     # ---- Phase 4: inject entry fluxes and distribute in-tile -------------
     F_grid = jnp.zeros(W * H, jnp.float32).at[bidx].set(F).reshape(W, H)
-    G_inj = _fixed_point(
+    G_inj = fixed_point(
         lambda G: _push_once(w * (F_grid + G), lslot, edge),
         jnp.zeros_like(v), max_iters,
     )

@@ -21,6 +21,11 @@ Exact for arbitrary per-donor weights; verified against the single-device
 methods on the CPU mesh (tests/test_parallel.py). This is the
 "block-local rake-compress + boundary-graph reduction" called for by
 SURVEY.md §2.10/§7 — the one long-range-coupled op in the framework.
+
+Known limits: the phase-2 trace is a single-level fixed point (rounds ~
+longest in-block path; a two-level trace through the 128-tile boundary
+graph is the planned refinement), and global flat cell ids are int32 —
+grids beyond 2^31 cells (~46341²) need an int64 id path.
 """
 
 from __future__ import annotations
@@ -32,14 +37,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax, shard_map
-from jax.sharding import PartitionSpec as P
 
 from soillib_tpu.core.grid import D8, shifts_for
-from soillib_tpu.ops.graph import _edge_weights, graph_to_slots
-from soillib_tpu.ops.graph_sweep import _push_once
-from soillib_tpu.ops.graph_tiled import _fixed_point, _pull, accumulate_tiled
+from soillib_tpu.ops.graph import (
+    _edge_weights,
+    compact_index,
+    graph_to_slots,
+    operator_doubling,
+)
+from soillib_tpu.ops.graph_sweep import _push_once, fixed_point
+from soillib_tpu.ops.graph_tiled import _pull, accumulate_tiled
 from soillib_tpu.parallel.halo import ShardHalo
-from soillib_tpu.parallel.mesh import grid_spec
+from soillib_tpu.parallel.mesh import check_divisible, grid_spec
 
 
 def _ring_indices(bw, bh):
@@ -83,7 +92,8 @@ def _local_kernel(halo, Wg, Hg, edge, max_iters, slot, v, w):
         dest = jnp.where((slot == d) & cross, gid, dest)
 
     X0 = dest
-    D0 = jnp.where(cross, w, jnp.where(is_root, 0.0, w))
+    # D = w on every edge-bearing cell, 0 at roots (cross cells never roots).
+    D0 = jnp.where(is_root, 0.0, w)
 
     def trace(c):
         X, D = c
@@ -92,7 +102,7 @@ def _local_kernel(halo, Wg, Hg, edge, max_iters, slot, v, w):
         in_block = ~cross & ~is_root
         return (jnp.where(in_block, Xr, X0), jnp.where(in_block, w * Dr, D0))
 
-    X, D = _fixed_point(trace, (X0, D0), max_iters)
+    X, D = fixed_point(trace, (X0, D0), max_iters)
 
     # Phase 3a: ship cross-block out-fluxes to the neighbors' edge rings
     # (one 1-ring ICI exchange; arrivals land where the edges point).
@@ -116,28 +126,15 @@ def _local_kernel(halo, Wg, Hg, edge, max_iters, slot, v, w):
     # gather over Y then X -> leading dims (px, py); tiled=False keeps them.
     gY = [lax.all_gather(r, halo.ay_name) for r in ring]
     gXY = [lax.all_gather(r, halo.ax_name) for r in gY]
-    I0c, Xc, Dc, Gc = [r.reshape(-1, *r.shape[3:]).reshape(-1) if r.ndim > 3
-                       else r.reshape(-1) for r in gXY]
+    I0c, Xc, Dc, Gc = [r.reshape(-1) for r in gXY]  # (px*py*Kb,)
 
+    # Compact mapping via sort+searchsorted: the replicated working set
+    # stays O(#ring cells), never O(grid) ("KBs, not the grid").
     K = I0c.shape[0]
-    lut = jnp.zeros(Wg * Hg, jnp.int32).at[Gc].set(
-        jnp.arange(K, dtype=jnp.int32)
-    )
-    has_exit = Xc >= 0
-    Pp = jnp.where(has_exit, lut[jnp.where(has_exit, Xc, 0)],
-                   jnp.arange(K, dtype=jnp.int32))
-    Wc = jnp.where(has_exit, Dc, 0.0)
-
-    rounds = int(np.ceil(np.log2(max(int(K), 2))))
-
-    def double(_, c):
-        F, P_, W_ = c
-        F = F + jnp.zeros_like(F).at[P_].add(W_ * F)
-        W_ = W_ * W_[P_]
-        P_ = P_[P_]
-        return F, P_, W_
-
-    F, _, _ = lax.fori_loop(0, rounds, double, (I0c, Pp, Wc))
+    self_idx = jnp.arange(K, dtype=jnp.int32)
+    Pp = compact_index(Gc, Xc, self_idx)
+    Wc = jnp.where(Xc >= 0, Dc, 0.0)
+    F = operator_doubling(I0c, Pp, Wc, int(np.ceil(np.log2(max(int(K), 2)))))
 
     # Phase 4: pick my ring's fluxes, inject, distribute in-block.
     my_lin = lax.axis_index(halo.ax_name) * halo.py + lax.axis_index(
@@ -148,7 +145,7 @@ def _local_kernel(halo, Wg, Hg, edge, max_iters, slot, v, w):
     F_grid = jnp.zeros(bw * bh, jnp.float32).at[ridx].set(F_mine).reshape(
         bw, bh
     )
-    G_inj = _fixed_point(
+    G_inj = fixed_point(
         lambda G: _push_once(w * (F_grid + G), lslot, edge),
         jnp.zeros_like(v), max_iters,
     )
@@ -173,6 +170,7 @@ def accumulate(graph, value, edge: int = D8, *, mesh, decay=None,
     `parallel.ops.steepest` output)."""
     g = jnp.asarray(graph)
     Wg, Hg = g.shape
+    check_divisible((Wg, Hg), mesh)
     px, py = mesh.devices.shape
     bw, bh = Wg // px, Hg // py
     if max_iters is None:

@@ -89,6 +89,47 @@ def plot_area(area, show=True, save=None):
     return fig
 
 
+def plot_dem(dem, extent=None, show=True, save=None):
+    """Terrain-colormapped elevation plot. Ref: util.py:75-88 (the pysheds
+    (grid, dem) pair becomes an array + optional world extent)."""
+    plt = _plt()
+    dem = np.asarray(dem)
+    fig, ax = plt.subplots(figsize=(8, 6))
+    fig.patch.set_alpha(0)
+    im = ax.imshow(dem, extent=extent, cmap="terrain", zorder=1)
+    plt.colorbar(im, ax=ax, label="Elevation (m)")
+    plt.grid(zorder=0)
+    plt.title("Digital elevation map", size=14)
+    plt.xlabel("Longitude")
+    plt.ylabel("Latitude")
+    plt.tight_layout()
+    _finish(plt, show, save)
+    return fig
+
+
+def plot_flow(fdir, show=True, save=None):
+    """Flow-direction grid plot (receiver slots or fdir codes).
+    Ref: util.py:90-105."""
+    plt = _plt()
+    fig = plt.figure(figsize=(8, 6))
+    fig.patch.set_alpha(0)
+    plt.imshow(np.asarray(fdir), cmap="viridis", zorder=2)
+    plt.colorbar()
+    plt.xlabel("Longitude")
+    plt.ylabel("Latitude")
+    plt.title("Flow direction grid", size=14)
+    plt.grid(zorder=-1)
+    plt.tight_layout()
+    _finish(plt, show, save)
+    return fig
+
+
+def show_mass(array, show=True, save=None):
+    """Log-scaled suspended-mass plot (same rendering as show_discharge).
+    Ref: util.py:144-151."""
+    return show_discharge(array, show=show, save=save)
+
+
 def show_height(tensor, show=True, save=None):
     plt = _plt()
     plt.imshow(np.asarray(tensor))
