@@ -186,3 +186,27 @@ def test_accumulate_tiled_matches_doubling():
         got = soil.accumulate_decay(flow, rain, decay, edge, method="tiled")
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-4)
+
+
+def test_accumulate_global_conservation():
+    """With unit weights, every cell's value reaches exactly one terminal
+    root, so the accumulated values at roots sum to the total input mass —
+    for every accumulation method."""
+    import jax
+    import jax.numpy as jnp
+    import soillib_tpu as soil
+
+    key = jax.random.PRNGKey(21)
+    W, H = 160, 140
+    h = soil.fill_depressions(
+        jax.random.normal(key, (W, H)) * 2.0 + jnp.linspace(0, 4, W)[:, None]
+    )
+    rain = jnp.abs(jax.random.normal(jax.random.fold_in(key, 1), (W, H))) + 0.5
+    total = float(rain.sum())
+    flow = soil.steepest(h, soil.d8)
+    roots = np.asarray(flow) < 0
+    assert roots.any()
+    for method in ("doubling", "stencil", "tiled"):
+        A = np.asarray(soil.accumulate(flow, rain, soil.d8, method=method))
+        np.testing.assert_allclose(A[roots].sum(), total, rtol=1e-4,
+                                   err_msg=method)
