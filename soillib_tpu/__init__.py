@@ -67,18 +67,19 @@ from soillib_tpu.io.geotiff import geotiff, geotiff_meta
 from soillib_tpu.io.mesh import mesh
 from soillib_tpu import util
 from soillib_tpu import silt
+from soillib_tpu import parallel
 
 # Reference-compatible edge-connectivity enumerators (graph.hpp:11-14).
 d4 = D4
 d8 = D8
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "D4", "D8", "d4", "d8", "D4_SHIFTS", "D8_SHIFTS",
     "Shape", "flatten", "unflatten", "oob",
     "timer", "profile", "ns", "us", "ms", "s",
-    "metrics", "morton", "silt",
+    "metrics", "morton", "silt", "parallel",
     "gradient", "negslope", "laplacian", "normal",
     "gaussian_blur",
     "steepest", "direction", "random_weighted", "slope",
