@@ -13,8 +13,11 @@ boundary conditions). Inside `shard_map` on a 2-D device mesh,
 `soillib_tpu.parallel.ShardHalo` implements `pad` with `jax.lax.ppermute`
 neighbor exchanges over ICI, filling the ring with the neighboring block's
 edge data — and with the *global* boundary condition (`fill`) only at true
-domain edges. Because the fills match, a sharded run is bitwise identical
-to the single-device run (all ops are elementwise after the pad).
+domain edges. Because the fills match, a sharded run is numerically
+equivalent to the single-device run: bitwise for the pad/crop stencil ops
+themselves (elementwise after the pad), and to float32 roundoff for the
+composed steps, whose surrounding arithmetic XLA may schedule differently
+per backend (asserted at rtol=1e-4 in tests/test_parallel.py).
 
 The reference needs none of this: CUDA kernels read any cell of global
 memory directly (SURVEY.md §2.10). On TPU the halo exchange is the explicit

@@ -100,13 +100,20 @@ def _unpack_lzw(data: bytes) -> bytes:
         if table is None:
             raise ValueError("LZW stream does not start with CLEAR")
         if prev is None:
+            if code >= len(table):
+                raise ValueError(f"corrupt LZW stream: code {code} before any string")
             entry = table[code]
         elif code < len(table):
             entry = table[code]
             table.append(prev + entry[:1])
-        else:
+        elif code == len(table):
+            # KwKwK: the only legal not-yet-defined code is the next slot.
             entry = prev + prev[:1]
             table.append(entry)
+        else:
+            raise ValueError(
+                f"corrupt LZW stream: code {code} beyond next table slot {len(table)}"
+            )
         out += entry
         prev = entry
         # TIFF early change: bump width one code early.

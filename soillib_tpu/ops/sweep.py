@@ -53,6 +53,13 @@ TILE_X = SX - 2 * HALO_K          # output tile rows
 _YPAD_R = SY - TILE_Y - HALO_K    # right zero-pad beyond the last tile
 assert TILE_Y + 2 * HALO_K <= SY and TILE_X % 8 == 0
 
+# VMEM scratch grows linearly with channel count (three double-buffered
+# (C, SX, SY) windows ≈ 3 MB/channel plus fori_loop temporaries of the same
+# order); beyond this many channels the kernel would exceed the 100 MB VMEM
+# budget and fail Mosaic compilation with an opaque error, so arbitrary-C
+# callers are routed to the jnp fixed point instead.
+MAX_SWEEP_CHANNELS = 12
+
 
 def _round_weights(vx, vy):
     """Loop-invariant outflow mask-weights: payload leaving toward
@@ -205,6 +212,10 @@ def transport_advance(G0, E, att, vx, vy, iters: int, *, interpret: bool = False
       `upwind_push` to float32 roundoff.
     """
     C, W, H = E.shape
+    if C > MAX_SWEEP_CHANNELS:
+        return transport_advance_reference(
+            jnp.asarray(G0, jnp.float32), E, att, vx, vy, iters
+        )
     K = HALO_K
     gw = -(-W // TILE_X)
     gh = -(-H // TILE_Y)
@@ -270,6 +281,25 @@ def transport_advance_reference(G0, E, att, vx, vy, iters: int):
     return jax.lax.fori_loop(0, iters, body, G0)
 
 
+def _advance_checkpointed(G0, E, att, vx, vy, iters: int):
+    """`transport_advance_reference` rematerialized per HALO_K-round block:
+    reverse-mode stores only the block-boundary G states (iters/K of them)
+    and recomputes each block's rounds in the cotangent sweep, bounding
+    residual memory at O(C*W*H*(iters/K + K)) instead of O(C*W*H*iters) —
+    the difference between fitting and OOMing a 4096²/32-round grad."""
+    blk = jax.checkpoint(
+        lambda g, r: transport_advance_reference(g, E, att, vx, vy, r),
+        static_argnums=(1,),
+    )
+    n_full, rem = divmod(int(iters), HALO_K)
+    G = G0
+    for _ in range(n_full):
+        G = blk(G, HALO_K)
+    if rem:
+        G = blk(G, rem)
+    return G
+
+
 def transport_sweep_reference(E, att, vx, vy, iters: int):
     """jnp fallback: same fixed point, one HBM pass per round."""
     return transport_advance_reference(
@@ -298,7 +328,9 @@ def _diffable_fwd(E, att, vx, vy, iters):
 def _diffable_bwd(iters, res, ct):
     E, att, vx, vy = res
     _, vjp = jax.vjp(
-        lambda e, a, x, y: transport_sweep_reference(e, a, x, y, iters),
+        lambda e, a, x, y: _advance_checkpointed(
+            jnp.zeros_like(e), e, a, x, y, iters
+        ),
         E, att, vx, vy,
     )
     return vjp(ct)
@@ -321,7 +353,7 @@ def _adv_fwd(G0, E, att, vx, vy, iters):
 def _adv_bwd(iters, res, ct):
     G0, E, att, vx, vy = res
     _, vjp = jax.vjp(
-        lambda g, e, a, x, y: transport_advance_reference(g, e, a, x, y, iters),
+        lambda g, e, a, x, y: _advance_checkpointed(g, e, a, x, y, iters),
         G0, E, att, vx, vy,
     )
     return vjp(ct)

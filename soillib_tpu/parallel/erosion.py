@@ -4,7 +4,8 @@
 `shard_map` over a 2-D mesh: every field is block-decomposed P("X", "Y"),
 and a `ShardHalo` threads ICI neighbor exchanges through each radius-1
 stencil and each upwind transport round (see core/halo.py for why the
-result is bitwise identical to the single-device run).
+result is numerically equivalent — bitwise for the pad/crop stencil ops,
+float32-roundoff-close for the composed step — to the single-device run).
 
 Communication cost per step with the default config: 2 gradient exchanges +
 2 transport-loop exchange sequences (iters rounds each) + 1 creep exchange,

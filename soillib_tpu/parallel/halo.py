@@ -10,8 +10,10 @@ lowers to ICI collective-permute; the payload per step is one edge slab
 (r × block-edge cells), a few KB–MB, far below ICI speed-of-light limits.
 
 Global-boundary blocks fill their outward-facing ring with the op's own
-boundary condition (`fill`), which is what makes sharded execution bitwise
-identical to single-device execution (see core/halo.py).
+boundary condition (`fill`), which is what makes sharded execution
+numerically equivalent to single-device execution — bitwise for the
+pad/crop stencil ops, float32-roundoff-close for composed steps (see
+core/halo.py).
 """
 
 from __future__ import annotations

@@ -224,3 +224,28 @@ def test_iter_tiff(tmp_path, arr):
     assert len(files) == 2
     single = list(soil.util.iter_tiff(p1))
     assert single == [("a.tiff", p1)]
+
+
+def test_lzw_rejects_corrupt_codes():
+    """Only code == len(table) is the legal KwKwK case; anything beyond is a
+    corrupt stream and must raise, matching the strict native decoder."""
+    import struct
+
+    import pytest as _pytest
+
+    from soillib_tpu.io.tiffcore import _unpack_lzw
+
+    def pack(codes, nbits=9):
+        bits = "".join(format(c, f"0{nbits}b") for c in codes)
+        bits += "0" * (-len(bits) % 8)
+        return bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+
+    CLEAR, EOI = 256, 257
+    # valid: CLEAR, 'A', KwKwK (code 258 == next slot), EOI
+    assert _unpack_lzw(pack([CLEAR, 65, 258, EOI])) == b"AAA"
+    # corrupt: code far beyond the next table slot
+    with _pytest.raises(ValueError):
+        _unpack_lzw(pack([CLEAR, 65, 400, EOI]))
+    # corrupt: undefined code before any string
+    with _pytest.raises(ValueError):
+        _unpack_lzw(pack([CLEAR, 300, EOI]))

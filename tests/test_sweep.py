@@ -81,3 +81,32 @@ def test_sweep_outflow_lost_at_boundary():
     # Row x receives sum of E from rows x-8..x-1 -> row 0 gets nothing.
     assert got[0, 0].max() == 0.0
     np.testing.assert_allclose(got[0, -1], 8.0, rtol=1e-6)
+
+
+def test_sweep_large_channel_count_falls_back():
+    """C beyond MAX_SWEEP_CHANNELS would blow the VMEM budget; the public
+    entry must route to the jnp fixed point instead of a Mosaic error."""
+    from soillib_tpu.ops.sweep import MAX_SWEEP_CHANNELS, transport_advance
+
+    C = MAX_SWEEP_CHANNELS + 4
+    E, att, vx, vy = _problem(jax.random.PRNGKey(5), C, 40, 40)
+    got = transport_advance(jnp.zeros_like(E), E, att, vx, vy, 9)
+    want = transport_sweep_reference(E, att, vx, vy, 9)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_backward_checkpointed_matches_reference_grad():
+    """The block-rematerialized backward (ADVICE r1) must reproduce the
+    plain reverse-mode gradient of the per-round fixed point."""
+    from soillib_tpu.ops.sweep import _advance_checkpointed
+
+    E, att, vx, vy = _problem(jax.random.PRNGKey(6), 3, 24, 24)
+
+    g_ck = jax.grad(
+        lambda e: _advance_checkpointed(jnp.zeros_like(e), e, att, vx, vy, 37).sum()
+    )(E)
+    g_ref = jax.grad(
+        lambda e: transport_sweep_reference(e, att, vx, vy, 37).sum()
+    )(E)
+    np.testing.assert_allclose(np.asarray(g_ck), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
