@@ -66,6 +66,12 @@ class NoHalo(Halo):
     def crop(self, arr, radius: int = 1):
         return arr
 
+    def pad_cf(self, arr, fill, radius: int = 1):
+        return arr
+
+    def crop_cf(self, arr, radius: int = 1):
+        return arr
+
     def global_offsets(self, block_shape):
         return 0, 0, int(block_shape[0]), int(block_shape[1])
 

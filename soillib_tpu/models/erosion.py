@@ -45,14 +45,36 @@ import jax.numpy as jnp
 from soillib_tpu.core.halo import NO_HALO
 from soillib_tpu.models.params import ErosionParams
 from soillib_tpu.ops.stencil import _shift
+from soillib_tpu.ops.sweep import upwind_push_cf
 from soillib_tpu.ops.transport import (
     bilinear_gather,
+    expected_exp_step,
     stepsize,
     stepsize_center,
+    stepsize_expected,
     upwind_push,
 )
 
 _EPS = 1e-12
+
+
+def _birth_density(W, H, halo=NO_HALO):
+    """Relative particle-birth density of the reference MC sampler.
+
+    erosion.cu births particles at pos = 0.5 + u * (shape - 1) — uniform
+    over the INSET (W-1)x(H-1) area, not over all cells as the stated
+    sample probability P = 1/(A*elem) assumes (erosion.cu:53-58). Interior
+    cells therefore receive W*H/((W-1)*(H-1)) times the nominal density
+    and edge cells half of that (corners a quarter). The field method
+    scales its emissions by this factor to reproduce the reference
+    estimator exactly (a deliberate quirk reproduction; ~4% interior at
+    48², vanishing as the grid grows)."""
+    x0, y0, Wg, Hg = halo.global_offsets((W, H))
+    gx = x0 + jnp.arange(W)
+    gy = y0 + jnp.arange(H)
+    fx = jnp.where((gx == 0) | (gx == Wg - 1), 0.5, 1.0) * (Wg / max(Wg - 1.0, 1.0))
+    fy = jnp.where((gy == 0) | (gy == Hg - 1), 0.5, 1.0) * (Hg / max(Hg - 1.0, 1.0))
+    return fx[:, None] * fy[None, :]
 
 
 def merged_height(layers):
@@ -130,6 +152,108 @@ def _masked_exp(alive, arg):
     """where(alive, exp(arg), 0) with the argument itself masked, so huge
     dead-cell exponents cannot leak NaN/inf into reverse mode."""
     return jnp.where(alive, jnp.exp(jnp.where(alive, arg, 0.0)), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Age-structured cohort sweep (nonlinear per-particle state transport)
+# ---------------------------------------------------------------------------
+
+
+def _cohort_sweep(w0, speed0, accel, carried0, rules, iters, Llen,
+                  halo=NO_HALO):
+    """Expected-value transport of particles whose *state evolves along the
+    trajectory* (velocity via implicit-Euler friction, debris carried mass
+    feeding back into the rheology — erosion.cu:124-136, 326-346).
+
+    The MC ensemble is modeled as one cohort per cell advancing in
+    lockstep: at round k every live cohort (uniformly of age k) takes one
+    particle step — direction/stepsize from its mean velocity, state
+    update from the local fields — and is pushed to its downwind
+    neighbors (|v̂x| : |v̂y| split); arriving cohorts merge by weight.
+    Because ages stay synchronized, merging only ever combines same-age
+    cohorts, preserving the newborn/veteran heterogeneity that a static
+    per-cell attenuation field cannot represent (a newborn's first-hop
+    deposit must not be averaged with collapsed old traffic — see
+    benchmarks/parity.py). Carried *totals* (mass, attenuated source
+    products) are deposited into the accumulator on every arrival,
+    exactly mirroring the MC entry deposits (erosion.cu:311-321).
+
+    Mean SPEED is carried as its own scalar channel: the vector mean of
+    merged cohorts cancels at convergent cells, and a near-zero mean
+    velocity would fake huge transit times ds = dL/|v| (and exp-overflow
+    the attenuations) for particles that are individually fast. The
+    vector mean supplies only the direction; all rate physics uses the
+    non-cancelling mean speed.
+
+    Args:
+      w0: (W, H) initial cohort weight (the MC birth density).
+      speed0: (2, W, H) newborn velocity.
+      accel: (2, W, H) local acceleration field (the implicit-Euler
+        update target at each cell).
+      carried0: (C, W, H) cohort-total carried quantities at birth.
+      rules: (dL, inv_speed, w, carried, unit2) ->
+             (w1 friction weight, carried_out totals) — the
+             physics-specific per-step state update.
+      iters: rounds (== particle transit deposits == maxage - 2).
+    Returns:
+      (C, W, H) accumulated arrival deposits G.
+    """
+    C = carried0.shape[0]
+    s0 = _len2(speed0[0], speed0[1])
+
+    def body(_, carry):
+        st, G = carry
+        w = st[0]
+        safe_w = jnp.maximum(w, _EPS)
+        vbx, vby = st[1] / safe_w, st[2] / safe_w
+        sbar = st[3] / safe_w
+        carried = st[4:]
+
+        vm_norm = _len2(vbx, vby)
+        alive = (sbar >= _EPS) & (vm_norm >= _EPS) & (w > 0.0)
+        inv_vm = 1.0 / jnp.maximum(vm_norm, _EPS)
+        ux, uy = vbx * inv_vm, vby * inv_vm     # direction: vector mean
+        inv = 1.0 / jnp.maximum(sbar, _EPS)     # rates: mean speed
+        step = stepsize_expected(ux, uy)
+        dL = step * Llen
+
+        w1, carried_out = rules(dL, inv, safe_w, carried, (ux, uy))
+
+        vox = w1 * (vbx + dL * accel[0])
+        voy = w1 * (vby + dL * accel[1])
+        # Representative-particle speed: the friction update applied to a
+        # particle moving along the mean direction at the mean speed.
+        s_out = w1 * _len2(ux * sbar + dL * accel[0],
+                           uy * sbar + dL * accel[1])
+
+        wa = jnp.where(alive, w, 0.0)
+        mask = alive[None]
+        # Carried totals saturate at an f32-safe bound: runaway suspension
+        # growth on unphysically steep terrain must not reach inf (a later
+        # 0*inf would poison the whole state with NaN).
+        carried_out = jnp.clip(carried_out, -1e30, 1e30)
+        payload = jnp.concatenate(
+            [
+                jnp.stack([wa, wa * vox, wa * voy, wa * s_out], axis=0),
+                jnp.where(mask, carried_out, 0.0),
+            ],
+            axis=0,
+        )
+        pp = halo.pad_cf(payload, 0.0)
+        uxp = halo.pad(ux, 0.0)
+        uyp = halo.pad(uy, 0.0)
+        arrivals = halo.crop_cf(upwind_push_cf(pp, uxp, uyp))
+        return arrivals, G + arrivals[4:]
+
+    st0 = jnp.concatenate(
+        [jnp.stack([w0, w0 * speed0[0], w0 * speed0[1], w0 * s0], axis=0),
+         carried0],
+        axis=0,
+    )
+    _, G = jax.lax.fori_loop(
+        0, int(iters), body, (st0, jnp.zeros_like(carried0))
+    )
+    return G
 
 
 # ---------------------------------------------------------------------------
@@ -224,7 +348,10 @@ def transport_fluvial(
     W, H = rainfall.shape
 
     if method == "field":
-        iters = iterations or (p.transportIterations or p.maxage)
+        # Default rounds = maxage - 2: the MC trajectory loop runs
+        # maxage-1 iterations and its first iteration never deposits
+        # (the particle is still inside its birth cell).
+        iters = iterations or (p.transportIterations or max(p.maxage - 2, 1))
         Gcf = _fluvial_field(t, discharge, p, iters, halo)
     elif method == "particles":
         if halo is not NO_HALO:
@@ -297,7 +424,10 @@ def _fluvial_field(t, discharge, p, iters, halo=NO_HALO):
     att_w = _masked_exp(alive, -ds * p.evapRate)
     att_v = _masked_exp(alive, -dL * 0.125 * t["fD"] / (_EPS + discharge))
 
-    E = jnp.concatenate(
+    # Emissions carry the reference sampler's birth-density quirk; the
+    # A*source terms of the normalize pass stay nominal (erosion.cu:163).
+    bd = _birth_density(*t["E_w"].shape, halo=halo)[None]
+    E = bd * jnp.concatenate(
         [t["E_w"][None], t["E_m"][None], t["E_v"], t["E_a"]], axis=0
     )
     att = jnp.stack(
@@ -494,29 +624,60 @@ def transport_debris(
     E_a = E_d[None] * albedo_surface
 
     if method == "field":
-        iters = iterations or (p.transportIterations or p.maxage)
-        v_norm = _len2(speed[0], speed[1])
-        alive = v_norm >= _EPS
-        inv = 1.0 / jnp.maximum(v_norm, _EPS)
-        vx, vy = speed[0] * inv, speed[1] * inv
-        step = stepsize_center(vx, vy)
-        dL = step * Llen
-        ds = dL * inv
+        # maxage - 2 deposit opportunities (see transport_fluvial).
+        iters = iterations or (p.transportIterations or max(p.maxage - 2, 1))
 
-        # Yield-stress balance: the per-particle carried height is
-        # approximated by the previous debris field (the same field-level
-        # estimate mass_transfer uses, erosion.cu:509-513).
-        debrisHeight = _EPS + mass
-        excessStress = g * (excess0 - tau_y / debrisHeight)
-        shearRate = jnp.where(excessStress < 0.0, kdd, kds)
-        att_d = _masked_exp(
-            alive, ds * shearRate * excessStress * inv
+        # The debris rheology is evaluated per particle with ITS carried
+        # mass (debrisHeight = eps + att_d * source_d, erosion.cu:333) and
+        # its trajectory-evolved velocity — with the default bed shear
+        # (0.99) and tiny carried masses, particle speed collapses within
+        # a couple of cells, so debris is short-range in a way no static
+        # initial-attenuation field can represent (benchmarks/parity.py).
+        # The age-structured cohort sweep transports the evolving particle
+        # state directly. The newborn carried mass scales with particle
+        # density rho = N/cells (Q = A*cells/N, erosion.cu:267), so the
+        # closure is N-aware.
+        W, H = mass.shape
+        _, _, Wg, Hg = halo.global_offsets((W, H))  # global grid dims
+        rho = float(p.nSamples) / float(Wg * Hg)    # particles born per cell
+        accel = E_v / A
+
+        def rules(dL, inv, w, carried, unit2):
+            ux, uy = unit2
+            M, AVx, AVy = carried[0], carried[1], carried[2]
+            B = carried[3:]
+            m_pp = M / (w * rho)  # per-particle carried mass
+            debrisHeight = _EPS + m_pp
+            decay = nu + tau / debrisHeight
+            w1 = 1.0 / (1.0 + dL * decay)
+
+            excessStress = g * (excess0 - tau_y / debrisHeight)
+            shearRate = jnp.where(excessStress < 0.0, kdd, kds)
+            # decay_d = ds * rate * stress / v (erosion.cu:344) with
+            # ds = dL/v — linear in the crossing distance, so the cohort
+            # factor is the exact position-averaged expectation rather
+            # than exp at the mean step (Jensen bias otherwise).
+            fac_d = expected_exp_step(
+                ux, uy, Llen * inv * shearRate * excessStress * inv
+            )
+            fac_v = expected_exp_step(ux, uy, -Llen * decay)
+            carried_out = jnp.concatenate(
+                [
+                    jnp.stack([M * fac_d, AVx * fac_v, AVy * fac_v], axis=0),
+                    B * fac_d[None],
+                ],
+                axis=0,
+            )
+            return w1, carried_out
+
+        # Cohort weight = the reference sampler's birth density (quirk,
+        # see _birth_density); per-particle carried mass M/(w*rho) is
+        # invariant to it since carried totals scale identically.
+        w0 = _birth_density(W, H, halo=halo)
+        carried0 = w0[None] * jnp.concatenate([E_d[None], E_v, E_a], axis=0)
+        Gcf = _cohort_sweep(
+            w0, speed, accel, carried0, rules, iters, Llen, halo
         )
-        att_v = _masked_exp(alive, -dL * (nu + tau / debrisHeight))
-
-        E = jnp.concatenate([E_d[None], E_v, E_a], axis=0)
-        att = jnp.stack([att_d, att_v, att_v, att_d, att_d, att_d], axis=0)
-        Gcf = halo.run_transport(E, att, vx, vy, iters)
     elif method == "particles":
         if halo is not NO_HALO:
             raise NotImplementedError(

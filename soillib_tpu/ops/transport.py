@@ -85,6 +85,62 @@ def stepsize_center(vx, vy):
     return 0.5 * (axis(jnp.abs(vx)) + axis(jnp.abs(vy)))
 
 
+def stepsize_expected(vx, vy):
+    """E_u[`stepsize`] over a uniform within-cell position — the exact mean
+    first-crossing distance of a uniformly-born particle.
+
+    Per axis with |d| = a, the crossing distance is T = min(U/a, sqrt2)
+    with U ~ Uniform(0,1):  E[T] = 1/(2a) for a >= 1/sqrt2, else sqrt2 - a
+    (the sqrt2 cap binds with probability 1 - sqrt2*a). `stepsize_center`
+    (T at U = 1/2) overestimates E[T] by up to 8% for mid-range a, which
+    measurably over-attenuates first-hop deposits in the cohort sweep
+    (benchmarks/parity.py). Division masked for reverse-mode safety."""
+    inv_s2 = 1.0 / _SQRT2
+
+    def axis(a):
+        big = a >= inv_s2
+        return jnp.where(big, 0.5 / jnp.where(big, a, 1.0), _SQRT2 - a)
+
+    return 0.5 * (axis(jnp.abs(vx)) + axis(jnp.abs(vy)))
+
+
+def expected_exp_step(vx, vy, coef):
+    """E_u[exp(coef * `stepsize`)] over a uniform within-cell position —
+    the exact expected per-transit attenuation factor of a uniformly-born
+    particle whose decay exponent is linear in the crossing distance.
+
+    step = (Tx + Ty)/2 with independent per-axis crossings
+    T = min(U/a, sqrt2), U ~ Uniform(0,1), so the factor splits into two
+    closed-form axis MGFs evaluated at beta = coef/2:
+
+      E[exp(beta T)] = (a/beta) expm1(beta u*/a) + max(0, 1-sqrt2 a) e^{sqrt2 beta}
+
+    with u* = min(1, sqrt2 a). exp(coef * E[step]) understates the heavy
+    particle tail (Jensen) — at debris-default rates that is a several-%
+    first-hop deposit bias (benchmarks/parity.py). Exponents clipped to
+    f32-safe range; a -> 0 reduces to the pure sqrt2 cap."""
+    def axis_mgf(a, beta):
+        tiny_a = a < 1e-20
+        a_s = jnp.where(tiny_a, 1.0, a)
+        u_star = jnp.minimum(1.0, _SQRT2 * a)
+        arg = jnp.clip(beta * u_star / a_s, -80.0, 80.0)
+        small_b = jnp.abs(beta) < 1e-12
+        beta_s = jnp.where(small_b, 1.0, beta)
+        integral = jnp.where(
+            small_b, u_star, (a_s / beta_s) * jnp.expm1(arg)
+        )
+        tail = jnp.maximum(0.0, 1.0 - _SQRT2 * a) * jnp.exp(
+            jnp.clip(_SQRT2 * beta, -80.0, 80.0)
+        )
+        full = integral + tail
+        return jnp.where(
+            tiny_a, jnp.exp(jnp.clip(_SQRT2 * beta, -80.0, 80.0)), full
+        )
+
+    beta = 0.5 * coef
+    return axis_mgf(jnp.abs(vx), beta) * axis_mgf(jnp.abs(vy), beta)
+
+
 def bilinear_gather(field, pos):
     """Bilinear sample of a (W, H[, C]) field at (..., 2) grid positions.
 

@@ -189,3 +189,25 @@ def test_transport_particles_close_to_field():
     np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.15)
     corr = np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1]
     assert corr > 0.7
+
+
+def test_erosion_extreme_terrain_stays_finite():
+    """Unphysically steep terrain (slopes ~100 m/m) drives the debris
+    suspension into exponential runaway; carried totals must saturate at
+    the f32-safe bound instead of reaching inf/NaN (the reference's own
+    per-particle attenuation would overflow here, erosion.cu:344-346)."""
+    import jax
+
+    p = soil.param_t()
+    p.transportIterations = 12
+    W, H = 32, 32
+    hgt = 2.0 + 0.5 * np.asarray(
+        np.random.default_rng(0).normal(size=(W, H)), np.float32
+    )
+    state = soil.ErosionState.zeros((W, H), height=hgt)
+    out = soil.erode(state, (0.08, 0.08, 4.0), p, steps=2,
+                     key=jax.random.PRNGKey(1))
+    for f in ("layers", "discharge", "mass", "momentum", "debris",
+              "debris_momentum", "albedo_surface"):
+        arr = np.asarray(getattr(out, f))
+        assert np.isfinite(arr).all(), f

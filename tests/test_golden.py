@@ -12,11 +12,14 @@ import numpy as np
 import soillib_tpu as soil
 
 # (mean, std, absmax) after 10 steps @64², transportIterations=16, key=3.
+# Re-pinned 2026-08-17 after the round-2 transport parity program (age-
+# structured debris cohort sweep + birth-density quirk + expected-step
+# attenuation) — benchmarks/parity.py documents the model change.
 GOLDEN = {
-    "height": (1.954820e+00, 1.008534e-01, 2.249966e+00),
-    "discharge": (1.630455e+00, 5.979026e+00, 1.359401e+02),
-    "mass": (2.173656e-10, 7.009366e-09, 3.517274e-07),
-    "sediment": (3.210327e-09, 1.148734e-07, 7.189776e-06),
+    "height": (1.960278e+00, 1.005996e-01, 2.252767e+00),
+    "discharge": (1.645355e+00, 6.271534e+00, 1.518747e+02),
+    "mass": (5.582051e-11, 1.006041e-09, 4.335011e-08),
+    "sediment": (1.719922e-03, 2.231739e-03, 1.344375e-02),
 }
 
 
