@@ -127,6 +127,34 @@ FLUVIAL_FIELDS = ("discharge", "mass", "momentum", "albedo")
 DEBRIS_FIELDS = ("mass", "momentum", "albedo")
 
 
+def _phase_report(names, f, mc, ha, hb, mass_idx):
+    """Per-field metrics; the albedo ratio field is compared mass-weighted
+    — the raw transported-albedo ratio G_a/G_m is degenerate wherever the
+    mass flux is trace-level (the reference applies no floor either,
+    erosion.cu:181-186), so cells below 1% of the mean MC mass carry no
+    signal and are weighted out."""
+    rep = {}
+    for i, name in enumerate(names):
+        if name == "albedo":
+            # Weight by the LESSER of the two mass fields: the ratio is
+            # only meaningful where both methods actually carry mass.
+            wgt = np.minimum(
+                np.maximum(np.asarray(mc[mass_idx], np.float64), 0.0),
+                np.maximum(np.asarray(f[mass_idx], np.float64), 0.0),
+            )
+            thr = 0.01 * wgt.mean() if wgt.mean() > 0 else 0.0
+            wgt = np.where(wgt > thr, wgt, 0.0)[None]
+            rep[name] = metrics(np.asarray(f[i]) * wgt,
+                                np.asarray(mc[i]) * wgt)
+            rep[name]["mc_selfcorr"] = metrics(
+                np.asarray(ha[i]) * wgt, np.asarray(hb[i]) * wgt
+            )["corr"]
+        else:
+            rep[name] = metrics(f[i], mc[i])
+            rep[name]["mc_selfcorr"] = metrics(ha[i], hb[i])["corr"]
+    return rep
+
+
 def compare_fluvial(state, scale, param, n_seeds):
     import soillib_tpu as soil
 
@@ -139,11 +167,7 @@ def compare_fluvial(state, scale, param, n_seeds):
                                          key=k),
         n_seeds,
     )
-    rep = {}
-    for i, name in enumerate(FLUVIAL_FIELDS):
-        rep[name] = metrics(f[i], mc[i])
-        rep[name]["mc_selfcorr"] = metrics(ha[i], hb[i])["corr"]
-    return rep
+    return _phase_report(FLUVIAL_FIELDS, f, mc, ha, hb, mass_idx=1)
 
 
 def compare_debris(state, scale, param, n_seeds):
@@ -158,11 +182,7 @@ def compare_debris(state, scale, param, n_seeds):
                                         key=k),
         n_seeds,
     )
-    rep = {}
-    for i, name in enumerate(DEBRIS_FIELDS):
-        rep[name] = metrics(f[i], mc[i])
-        rep[name]["mc_selfcorr"] = metrics(ha[i], hb[i])["corr"]
-    return rep
+    return _phase_report(DEBRIS_FIELDS, f, mc, ha, hb, mass_idx=0)
 
 
 # ---------------------------------------------------------------------------

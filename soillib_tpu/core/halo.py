@@ -56,6 +56,14 @@ class Halo:
         Sharded: K-blocked ppermute halo exchange."""
         raise NotImplementedError
 
+    def run_cohort(self, st0, aux, rules, iters: int, Llen):
+        """`iters` rounds of the age-structured cohort sweep (nonlinear
+        per-particle state transport, ops/cohort.py) -> (C, W, H)
+        deposits. Single-device: the temporally-blocked Pallas cohort
+        kernel on TPU. Sharded: K-blocked ppermute exchange of the
+        cohort state."""
+        raise NotImplementedError
+
 
 class NoHalo(Halo):
     """Single-device: identity pad/crop; push is the plain upwind operator."""
@@ -79,6 +87,11 @@ class NoHalo(Halo):
         from soillib_tpu.ops import sweep
 
         return sweep.run_transport(E, att, vx, vy, iters)
+
+    def run_cohort(self, st0, aux, rules, iters: int, Llen):
+        from soillib_tpu.ops import cohort
+
+        return cohort.run_cohort(st0, aux, rules, iters, Llen)
 
 
 NO_HALO = NoHalo()

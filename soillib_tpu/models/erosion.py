@@ -45,13 +45,11 @@ import jax.numpy as jnp
 from soillib_tpu.core.halo import NO_HALO
 from soillib_tpu.models.params import ErosionParams
 from soillib_tpu.ops.stencil import _shift
-from soillib_tpu.ops.sweep import upwind_push_cf
 from soillib_tpu.ops.transport import (
     bilinear_gather,
     expected_exp_step,
     stepsize,
     stepsize_center,
-    stepsize_expected,
     upwind_push,
 )
 
@@ -154,106 +152,34 @@ def _masked_exp(alive, arg):
     return jnp.where(alive, jnp.exp(jnp.where(alive, arg, 0.0)), 0.0)
 
 
+# Exp-rate coefficients fed to `expected_exp_step` are clipped to this
+# magnitude on the PRIMAL: collapsed-speed cells reach ~1e31 (inv^2 terms
+# at the 1e-12 speed floor), and although the MGF saturates internally,
+# carrying the astronomical coefficient through the chain leaves
+# near-f32-overflow residuals in reverse mode that XLA's scan compilation
+# is free to reassociate into inf (the eager op-order stays finite; the
+# compiled fori_loop NaNs — tests/test_checkpoint.py). At +-1e4 every
+# attenuation is already ~0 and every growth already saturates the 1e30
+# carried-total clamp, so no physical trajectory changes.
+_RATE_CLIP = 1e4
+
+
 # ---------------------------------------------------------------------------
 # Age-structured cohort sweep (nonlinear per-particle state transport)
 # ---------------------------------------------------------------------------
 
 
-def _cohort_sweep(w0, speed0, accel, carried0, rules, iters, Llen,
-                  halo=NO_HALO):
-    """Expected-value transport of particles whose *state evolves along the
-    trajectory* (velocity via implicit-Euler friction, debris carried mass
-    feeding back into the rheology — erosion.cu:124-136, 326-346).
-
-    The MC ensemble is modeled as one cohort per cell advancing in
-    lockstep: at round k every live cohort (uniformly of age k) takes one
-    particle step — direction/stepsize from its mean velocity, state
-    update from the local fields — and is pushed to its downwind
-    neighbors (|v̂x| : |v̂y| split); arriving cohorts merge by weight.
-    Because ages stay synchronized, merging only ever combines same-age
-    cohorts, preserving the newborn/veteran heterogeneity that a static
-    per-cell attenuation field cannot represent (a newborn's first-hop
-    deposit must not be averaged with collapsed old traffic — see
-    benchmarks/parity.py). Carried *totals* (mass, attenuated source
-    products) are deposited into the accumulator on every arrival,
-    exactly mirroring the MC entry deposits (erosion.cu:311-321).
-
-    Mean SPEED is carried as its own scalar channel: the vector mean of
-    merged cohorts cancels at convergent cells, and a near-zero mean
-    velocity would fake huge transit times ds = dL/|v| (and exp-overflow
-    the attenuations) for particles that are individually fast. The
-    vector mean supplies only the direction; all rate physics uses the
-    non-cancelling mean speed.
-
-    Args:
-      w0: (W, H) initial cohort weight (the MC birth density).
-      speed0: (2, W, H) newborn velocity.
-      accel: (2, W, H) local acceleration field (the implicit-Euler
-        update target at each cell).
-      carried0: (C, W, H) cohort-total carried quantities at birth.
-      rules: (dL, inv_speed, w, carried, unit2) ->
-             (w1 friction weight, carried_out totals) — the
-             physics-specific per-step state update.
-      iters: rounds (== particle transit deposits == maxage - 2).
-    Returns:
-      (C, W, H) accumulated arrival deposits G.
-    """
-    C = carried0.shape[0]
-    s0 = _len2(speed0[0], speed0[1])
-
-    def body(_, carry):
-        st, G = carry
-        w = st[0]
-        safe_w = jnp.maximum(w, _EPS)
-        vbx, vby = st[1] / safe_w, st[2] / safe_w
-        sbar = st[3] / safe_w
-        carried = st[4:]
-
-        vm_norm = _len2(vbx, vby)
-        alive = (sbar >= _EPS) & (vm_norm >= _EPS) & (w > 0.0)
-        inv_vm = 1.0 / jnp.maximum(vm_norm, _EPS)
-        ux, uy = vbx * inv_vm, vby * inv_vm     # direction: vector mean
-        inv = 1.0 / jnp.maximum(sbar, _EPS)     # rates: mean speed
-        step = stepsize_expected(ux, uy)
-        dL = step * Llen
-
-        w1, carried_out = rules(dL, inv, safe_w, carried, (ux, uy))
-
-        vox = w1 * (vbx + dL * accel[0])
-        voy = w1 * (vby + dL * accel[1])
-        # Representative-particle speed: the friction update applied to a
-        # particle moving along the mean direction at the mean speed.
-        s_out = w1 * _len2(ux * sbar + dL * accel[0],
-                           uy * sbar + dL * accel[1])
-
-        wa = jnp.where(alive, w, 0.0)
-        mask = alive[None]
-        # Carried totals saturate at an f32-safe bound: runaway suspension
-        # growth on unphysically steep terrain must not reach inf (a later
-        # 0*inf would poison the whole state with NaN).
-        carried_out = jnp.clip(carried_out, -1e30, 1e30)
-        payload = jnp.concatenate(
-            [
-                jnp.stack([wa, wa * vox, wa * voy, wa * s_out], axis=0),
-                jnp.where(mask, carried_out, 0.0),
-            ],
-            axis=0,
-        )
-        pp = halo.pad_cf(payload, 0.0)
-        uxp = halo.pad(ux, 0.0)
-        uyp = halo.pad(uy, 0.0)
-        arrivals = halo.crop_cf(upwind_push_cf(pp, uxp, uyp))
-        return arrivals, G + arrivals[4:]
-
-    st0 = jnp.concatenate(
-        [jnp.stack([w0, w0 * speed0[0], w0 * speed0[1], w0 * s0], axis=0),
+def _cohort_state(w0, speed0, carried0):
+    """Pack the initial cohort state (see ops/cohort.py): weight, weighted
+    mean velocity, weighted per-axis second velocity moments (newborns
+    are velocity-deterministic, so E[v^2] = v^2), carried totals."""
+    return jnp.concatenate(
+        [jnp.stack([w0, w0 * speed0[0], w0 * speed0[1],
+                    w0 * speed0[0] * speed0[0],
+                    w0 * speed0[1] * speed0[1]], axis=0),
          carried0],
         axis=0,
     )
-    _, G = jax.lax.fori_loop(
-        0, int(iters), body, (st0, jnp.zeros_like(carried0))
-    )
-    return G
 
 
 # ---------------------------------------------------------------------------
@@ -347,12 +273,20 @@ def transport_fluvial(
     )
     W, H = rainfall.shape
 
-    if method == "field":
+    if method in ("field", "field-static"):
         # Default rounds = maxage - 2: the MC trajectory loop runs
         # maxage-1 iterations and its first iteration never deposits
         # (the particle is still inside its birth cell).
         iters = iterations or (p.transportIterations or max(p.maxage - 2, 1))
-        Gcf = _fluvial_field(t, discharge, p, iters, halo)
+        if method == "field":
+            Gcf = _fluvial_cohort(t, rainfall, discharge, p, iters, halo)
+        else:
+            # Static-attenuation linear solve: fast, but blind to the
+            # trajectory velocity evolution — on rough terrain particles
+            # oscillate through pits with evolving speed and the static
+            # direction field over-accumulates there (benchmarks/
+            # parity.py: noise-terrain discharge corr 0.19 vs 0.99).
+            Gcf = _fluvial_field(t, discharge, p, iters, halo)
     elif method == "particles":
         if halo is not NO_HALO:
             raise NotImplementedError(
@@ -401,6 +335,61 @@ def transport_fluvial(
 
 def _3len(a):
     return jnp.sqrt(jnp.sum(a * a, axis=-1))
+
+
+def _fluvial_cohort(t, rainfall, discharge, p, iters, halo=NO_HALO):
+    """Age-structured cohort solve of the fluvial transport — the default
+    field method. Carries the per-particle attenuation products
+    (att_w*source_w, att_m*source_m, att_v*source_v, att_m*source_a) as
+    cohort totals while the cohort velocity evolves by the implicit-Euler
+    friction update (erosion.cu:100-136), so trajectory curvature, pit
+    oscillation damping, and speed-dependent transit times are all
+    represented (the static-attenuation solve is not — see
+    transport_fluvial). Returns (7, W, H) deposits."""
+    speed = t["speed"]
+    Llen = t["Llen"]
+    A = t["A"]
+    kd, fD, nu, tau = t["kd"], t["fD"], t["nu"], t["tau"]
+    evap = p.evapRate
+    accel = t["E_v"] / A + t["force"][:, None, None]
+
+    def rules(dL, inv, w, carried, unit2, aux):
+        ux, uy = unit2
+        dis = aux[0]
+        AW, AM = carried[0], carried[1]
+        AV = carried[2:4]
+        AB = carried[4:7]
+        w1 = 1.0 / (1.0 + dL * (tau + nu))
+        # ds = dL / v exponents are << 1 at fluvial rates — plain exp at
+        # the mean step suffices (Jensen correction immaterial); the
+        # momentum decay 0.125*fD/waterHeight can be O(1)+, so it takes
+        # the exact position-averaged factor.
+        fac_w = jnp.exp(-jnp.minimum(dL * inv * evap, 88.0))
+        fac_m = jnp.exp(-jnp.minimum(dL * inv * kd, 88.0))
+        fac_v = expected_exp_step(
+            ux, uy,
+            jnp.clip(-Llen * 0.125 * fD / (_EPS + dis), -_RATE_CLIP, 0.0),
+        )
+        carried_out = jnp.concatenate(
+            [
+                jnp.stack([AW * fac_w, AM * fac_m], axis=0),
+                AV * fac_v[None],
+                AB * fac_m[None],
+            ],
+            axis=0,
+        )
+        return w1, carried_out
+
+    W, H = rainfall.shape
+    bd = _birth_density(W, H, halo=halo)
+    carried0 = bd[None] * jnp.concatenate(
+        [t["E_w"][None], t["E_m"][None], t["E_v"], t["E_a"]], axis=0
+    )
+    st0 = _cohort_state(bd, speed, carried0)
+    aux = jnp.concatenate(
+        [accel, jnp.ones_like(discharge)[None], discharge[None]], axis=0
+    )
+    return halo.run_cohort(st0, aux, rules, iters, Llen)
 
 
 def _fluvial_field(t, discharge, p, iters, halo=NO_HALO):
@@ -623,8 +612,10 @@ def transport_debris(
     E_v = A * (-(g * grad) + nu * vel)
     E_a = E_d[None] * albedo_surface
 
-    if method == "field":
+    if method in ("field", "field-static"):
         # maxage - 2 deposit opportunities (see transport_fluvial).
+        # ("field-static" is a fluvial-only distinction; debris always
+        # needs the cohort rheology.)
         iters = iterations or (p.transportIterations or max(p.maxage - 2, 1))
 
         # The debris rheology is evaluated per particle with ITS carried
@@ -642,11 +633,21 @@ def transport_debris(
         rho = float(p.nSamples) / float(Wg * Hg)    # particles born per cell
         accel = E_v / A
 
-        def rules(dL, inv, w, carried, unit2):
+        def rules(dL, inv, w, carried, unit2, aux):
             ux, uy = unit2
+            excess0 = aux[0]
             M, AVx, AVy = carried[0], carried[1], carried[2]
             B = carried[3:]
-            m_pp = M / (w * rho)  # per-particle carried mass
+            # Per-particle carried mass, capped at 1e12 (double-where):
+            # thin-but-alive cohorts keep the exact intensive M/(w rho)
+            # — carried totals scale with w, so the ratio stays O(1) as
+            # cohorts spread — while saturated pathology (M at the 1e30
+            # clamp over w ~ 1e-12) would otherwise put the division's
+            # reverse-mode residual out/den ~ 1e43 past f32 under XLA's
+            # reassociation freedom (see _RATE_CLIP).
+            den = w * rho
+            big = M > den * 1e12
+            m_pp = jnp.where(big, 1e12, M / jnp.where(big, 1.0, den))
             debrisHeight = _EPS + m_pp
             decay = nu + tau / debrisHeight
             w1 = 1.0 / (1.0 + dL * decay)
@@ -658,9 +659,13 @@ def transport_debris(
             # factor is the exact position-averaged expectation rather
             # than exp at the mean step (Jensen bias otherwise).
             fac_d = expected_exp_step(
-                ux, uy, Llen * inv * shearRate * excessStress * inv
+                ux, uy,
+                jnp.clip(Llen * inv * shearRate * excessStress * inv,
+                         -_RATE_CLIP, _RATE_CLIP),
             )
-            fac_v = expected_exp_step(ux, uy, -Llen * decay)
+            fac_v = expected_exp_step(
+                ux, uy, jnp.clip(-Llen * decay, -_RATE_CLIP, 0.0)
+            )
             carried_out = jnp.concatenate(
                 [
                     jnp.stack([M * fac_d, AVx * fac_v, AVy * fac_v], axis=0),
@@ -675,9 +680,13 @@ def transport_debris(
         # invariant to it since carried totals scale identically.
         w0 = _birth_density(W, H, halo=halo)
         carried0 = w0[None] * jnp.concatenate([E_d[None], E_v, E_a], axis=0)
-        Gcf = _cohort_sweep(
-            w0, speed, accel, carried0, rules, iters, Llen, halo
+        st0 = _cohort_state(w0, speed, carried0)
+        # aux = [accel, domain mask (ones; zero-padding kills escapees),
+        #        rules aux...] — see ops/cohort.py layout.
+        aux = jnp.concatenate(
+            [accel, jnp.ones_like(excess0)[None], excess0[None]], axis=0
         )
+        Gcf = halo.run_cohort(st0, aux, rules, iters, Llen)
     elif method == "particles":
         if halo is not NO_HALO:
             raise NotImplementedError(

@@ -1,0 +1,409 @@
+"""Pallas TPU kernel: temporally-blocked age-structured cohort sweep.
+
+The cohort transport (models/erosion.py `_cohort_round`-style dynamics:
+per-cell particle cohorts whose velocity/carried-mass state evolves each
+transit, deposits accumulated on arrival) is a *nonlinear* radius-1
+stencil per round — the temporal-blocking argument of ops/sweep.py is
+purely topological (information moves one cell per round), so it applies
+unchanged: load a window with a K-cell halo ring, advance K rounds in
+VMEM, keep the interior. Stale halo values stay finite (divisions are
+eps-guarded, exponents clipped) and never reach the interior within K
+rounds; `jnp.roll` wrap-around lands in the stale ring exactly as in the
+linear kernel.
+
+Ref: the per-particle trajectory loop this models is erosion.cu:281-351
+(debris); the deposits are the atomicAdd entries at erosion.cu:311-321.
+
+State layout (channel-first):
+  st  = (5 + C, W, H): [w, w*vx, w*vy, w*E[vx^2], w*E[vy^2], carried...]
+  aux = (3 + A, W, H): [accel_x, accel_y, domain mask, rules aux...]
+  G   = (C, W, H) accumulated arrival deposits.
+
+The domain mask (ones over the domain) is what makes temporal blocking
+safe at boundaries: unlike the linear sweep — whose pad cells never emit
+because their *static* directions are zero — cohort state pushed into
+the pad ring would evolve and re-emit within the K in-VMEM rounds. The
+zero padding of aux turns the ring into a kill zone (particles leaving
+the domain die, erosion.cu:281 `__oob`), in every execution mode.
+
+`rules(dL, inv_speed, w, carried, (ux, uy), aux_tail)` is the physics
+callback (traced into the kernel); it returns the implicit-Euler friction
+weight w1 and the advanced carried totals.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from soillib_tpu.ops.sweep import (
+    HALO_K,
+    SX,
+    SY,
+    TILE_X,
+    TILE_Y,
+    _YPAD_R,
+)
+from soillib_tpu.ops.transport import stepsize_expected
+
+_EPS = 1e-12
+
+
+def _roll_push(payloads):
+    """Roll-based directional push (kernel interior form; wrap-around is
+    absorbed by the stale halo ring / zero boundary padding). `payloads`
+    = (toward +x, -x, +y, -y) full channel stacks."""
+    pxp, pxn, pyp, pyn = payloads
+    return (
+        jnp.roll(pxp, 1, axis=1)
+        + jnp.roll(pxn, -1, axis=1)
+        + jnp.roll(pyp, 1, axis=2)
+        + jnp.roll(pyn, -1, axis=2)
+    )
+
+
+def shift_push(payloads):
+    """Zero-boundary directional push (reference form: pad + slice)."""
+    pxp, pxn, pyp, pyn = payloads
+
+    def shift_from(a, dx, dy):
+        pad = [(0, 0)] * (a.ndim - 2) + [(max(0, dx), max(0, -dx)),
+                                         (max(0, dy), max(0, -dy))]
+        ap = jnp.pad(a, pad)
+        W, H = a.shape[-2], a.shape[-1]
+        x0, y0 = max(0, -dx), max(0, -dy)
+        return ap[..., x0:x0 + W, y0:y0 + H]
+
+    return (
+        shift_from(pxp, +1, 0)
+        + shift_from(pxn, -1, 0)
+        + shift_from(pyp, 0, +1)
+        + shift_from(pyn, 0, -1)
+    )
+
+
+def _norm_cdf(z):
+    """Standard-normal CDF via the Abramowitz-Stegun 7.1.26 rational
+    erf approximation (max abs error 1.5e-7 — below f32 noise on the
+    stream weights): `jax.lax.erf` has no Pallas TPU lowering, and the
+    jnp reference path uses this same approximation so the kernel and
+    reference stay numerically identical."""
+    x = jnp.abs(z) * 0.7071067811865476
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf_abs = 1.0 - poly * jnp.exp(-x * x)
+    erf_z = jnp.sign(z) * erf_abs
+    return 0.5 * (1.0 + erf_z)
+
+
+def _axis_streams(mu, m2):
+    """Directional decomposition of a per-axis Gaussian velocity ensemble
+    N(mu, m2 - mu^2) into its positive- and negative-going streams.
+
+    Returns (E[v+], E[v-], E[v|v>0], E[v|v<0], E[v^2|v>0], E[v^2|v<0]):
+    the half-moment magnitudes that set the outflow split weights, plus
+    the truncated-Gaussian conditional moments each stream CARRIES — the
+    conditioning is what keeps sub-streams ballistic (a +x-going stream
+    arrives still moving +x) instead of re-randomizing into a diffusion
+    every round. sigma -> 0 collapses everything onto the deterministic
+    single-direction particle."""
+    var = jnp.maximum(m2 - mu * mu, 0.0)
+    small = var <= 1e-12 * jnp.maximum(m2, _EPS)
+    sigma = jnp.where(small, 0.0, jnp.sqrt(jnp.where(small, 1.0, var)))
+    sigma_s = jnp.where(small, 1.0, sigma)
+    # |z| capped at 6: the minority stream's weight is already < 1e-9
+    # there (pure noise), and the cap keeps the inverse-Mills residuals
+    # (phi/Phi^2 in reverse mode) around 1e18 instead of the 1e40 a
+    # 1e-20 floor would leave — margin XLA's reassociation freedom in
+    # compiled scans requires (see models/erosion.py _RATE_CLIP).
+    z = jnp.clip(mu / sigma_s, -6.0, 6.0)
+    phi = jnp.exp(-0.5 * z * z) * 0.3989422804014327
+    Phi = jnp.clip(_norm_cdf(z), 1e-9, 1.0)
+    Phn = jnp.clip(1.0 - Phi, 1e-9, 1.0)
+
+    Epos = jnp.where(small, jnp.maximum(mu, 0.0),
+                     jnp.maximum(mu * Phi + sigma * phi, 0.0))
+    Eneg = jnp.maximum(Epos - mu, 0.0)
+
+    lam_p = phi / Phi
+    lam_n = phi / Phn
+    c_pos = jnp.where(small, mu, mu + sigma * lam_p)
+    c_neg = jnp.where(small, mu, mu - sigma * lam_n)
+    m2_pos = jnp.where(small, m2, mu * mu + var + mu * sigma * lam_p)
+    m2_neg = jnp.where(small, m2, mu * mu + var - mu * sigma * lam_n)
+    return Epos, Eneg, c_pos, c_neg, jnp.maximum(m2_pos, 0.0), \
+        jnp.maximum(m2_neg, 0.0)
+
+
+def cohort_round(st, G, aux, rules, Llen, push):
+    """One cohort transit: mix -> particle-state step -> push -> deposit.
+
+    Shared verbatim by the jnp reference loop, the Pallas kernel and the
+    sharded block advance, so all three stay numerically identical.
+
+    The cohort velocity is a Gaussian moment closure — per-axis mean AND
+    second moment — because the MC ensemble at a cell is velocity-
+    DISPERSED (merged histories, cross-valley oscillation, staircase
+    dither). A mean-only cohort collapses every stream onto the single
+    steepest line and over-concentrates discharge 2-4x in valleys/pits
+    (benchmarks/parity.py); splitting the outflow by the expected
+    positive/negative velocity parts keeps the dispersion, and merging
+    sums second moments exactly."""
+    w = st[0]
+    safe_w = jnp.maximum(w, _EPS)
+    vbx, vby = st[1] / safe_w, st[2] / safe_w
+    m2x, m2y = st[3] / safe_w, st[4] / safe_w
+    carried = st[5:]
+    accel = aux[:2]
+
+    # RMS speed: non-cancelling (a mean-velocity norm fakes near-zero
+    # speeds at convergent cells and exp-overflows the rate physics).
+    srms_sq = m2x + m2y
+    szero = srms_sq <= 0.0
+    sbar = jnp.where(szero, 0.0, jnp.sqrt(jnp.where(szero, 1.0, srms_sq)))
+    alive = (sbar >= _EPS) & (w > 0.0) & (aux[2] > 0.0)
+    inv = 1.0 / jnp.maximum(sbar, _EPS)
+
+    # Directional stream decomposition (split weights + the conditional
+    # moments each stream carries).
+    Exp, Exn, cxp, cxn, m2xp, m2xn = _axis_streams(vbx, m2x)
+    Eyp, Eyn, cyp, cyn, m2yp, m2yn = _axis_streams(vby, m2y)
+    denom = Exp + Exn + Eyp + Eyn
+    denom = jnp.where(denom <= 0.0, 1.0, denom)
+    wxp, wxn = Exp / denom, Exn / denom
+    wyp, wyn = Eyp / denom, Eyn / denom
+
+    # Direction cosines for the step rule / attenuation anisotropy: the
+    # dispersion-weighted axis shares (reduce to |v̂| components when
+    # sigma -> 0).
+    ax = Exp + Exn
+    ay = Eyp + Eyn
+    an = jnp.sqrt(jnp.maximum(ax * ax + ay * ay, _EPS * _EPS))
+    ux = ax / an
+    uy = ay / an
+    step = stepsize_expected(ux, uy)
+    dL = step * Llen
+
+    w1, carried_out = rules(dL, inv, safe_w, carried, (ux, uy), aux[3:])
+
+    dax, day = dL * accel[0], dL * accel[1]
+
+    def upd_m2(m2c, c, a_):
+        """E[v'^2] = w1^2 (m2 + 2 dL a mu + (dL a)^2)."""
+        return w1 * w1 * (m2c + 2.0 * a_ * c + a_ * a_)
+
+    vox = w1 * (vbx + dax)
+    voy = w1 * (vby + day)
+    m2xo = upd_m2(m2x, vbx, dax)
+    m2yo = upd_m2(m2y, vby, day)
+    # Stream-conditioned updates along the push axis.
+    vox_p, vox_n = w1 * (cxp + dax), w1 * (cxn + dax)
+    voy_p, voy_n = w1 * (cyp + day), w1 * (cyn + day)
+    m2xo_p, m2xo_n = upd_m2(m2xp, cxp, dax), upd_m2(m2xn, cxn, dax)
+    m2yo_p, m2yo_n = upd_m2(m2yp, cyp, day), upd_m2(m2yn, cyn, day)
+
+    wa = jnp.where(alive, w, 0.0)
+    carried_out = jnp.where(
+        alive[None], jnp.clip(carried_out, -1e30, 1e30), 0.0
+    )
+
+    def stream(ws, vx_s, vy_s, m2x_s, m2y_s):
+        wss = wa * ws
+        return jnp.concatenate(
+            [
+                jnp.stack([wss, wss * vx_s, wss * vy_s,
+                           wss * m2x_s, wss * m2y_s], axis=0),
+                ws[None] * carried_out,
+            ],
+            axis=0,
+        )
+
+    arrivals = push((
+        stream(wxp, vox_p, voy, m2xo_p, m2yo),
+        stream(wxn, vox_n, voy, m2xo_n, m2yo),
+        stream(wyp, vox, voy_p, m2xo, m2yo_p),
+        stream(wyn, vox, voy_n, m2xo, m2yo_n),
+    ))
+    return arrivals, G + arrivals[5:]
+
+
+def cohort_advance_reference(st0, aux, rules, iters, Llen):
+    """jnp fallback: one padded push per round (exact, no blocking).
+    Returns (advanced state, deposits)."""
+    def body(_, carry):
+        st, G = carry
+        return cohort_round(st, G, aux, rules, Llen, shift_push)
+
+    return jax.lax.fori_loop(
+        0, int(iters), body, (st0, jnp.zeros_like(st0[5:]))
+    )
+
+
+def _cohort_kernel(rounds, S, C, gh, n_tiles, Llen, rules,
+                   st_hbm, aux_hbm, g_out_hbm,
+                   st_v, aux_v, g_v, sems, out_sem):
+    """Double-buffered window pipeline (see ops/sweep.py `_sweep_kernel`):
+    tile t's windows DMA while t-1 computes; the advanced state interior
+    and the pass's deposit accumulation are written back as one stacked
+    (S + C)-channel block, and the host loop re-pads the state between
+    passes (see `cohort_advance`)."""
+    t = pl.program_id(0)
+    slot = jax.lax.rem(t, 2)
+
+    def in_dmas(s, ti):
+        ii = ti // gh
+        jj = jax.lax.rem(ti, gh)
+        x0 = ii * TILE_X
+        y0 = jj * TILE_Y
+        return [
+            pltpu.make_async_copy(
+                src.at[..., pl.ds(x0, SX), pl.ds(y0, SY)], dst.at[s],
+                sems.at[s, k],
+            )
+            for k, (src, dst) in enumerate([(st_hbm, st_v), (aux_hbm, aux_v)])
+        ]
+
+    def out_dma(s, ti):
+        ii = ti // gh
+        jj = jax.lax.rem(ti, gh)
+        return pltpu.make_async_copy(
+            g_v.at[s],
+            g_out_hbm.at[:, pl.ds(ii * TILE_X, TILE_X),
+                         pl.ds(jj * TILE_Y, TILE_Y)],
+            out_sem.at[s],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        for c in in_dmas(0, 0):
+            c.start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        for c in in_dmas(1 - slot, t + 1):
+            c.start()
+
+    for c in in_dmas(slot, t):
+        c.wait()
+
+    aux = aux_v[slot]
+
+    def body(_, carry):
+        st, G = carry
+        return cohort_round(st, G, aux, rules, Llen, _roll_push)
+
+    st = st_v[slot]
+    G0 = jnp.zeros((C,) + st.shape[1:], jnp.float32)
+    st, G = jax.lax.fori_loop(0, rounds, body, (st, G0))
+
+    @pl.when(t >= 2)
+    def _():
+        out_dma(slot, t - 2).wait()
+
+    # (state + deposits) interior: state goes into channels [0, S), the
+    # pass deposits into [S, S+C) of the same output block.
+    g_v[slot] = jnp.concatenate(
+        [st[:, HALO_K:HALO_K + TILE_X, HALO_K:HALO_K + TILE_Y],
+         G[:, HALO_K:HALO_K + TILE_X, HALO_K:HALO_K + TILE_Y]],
+        axis=0,
+    )
+    out_dma(slot, t).start()
+
+    @pl.when(t + 1 >= n_tiles)
+    def _():
+        out_dma(slot, t).wait()
+
+    if n_tiles >= 2:
+        @pl.when(t + 1 == n_tiles)
+        def _():
+            out_dma(1 - slot, t - 1).wait()
+
+
+def _cohort_call(STp, AUXp, rules, rounds, Llen, grid_wh, interpret):
+    S = STp.shape[0]
+    A = AUXp.shape[0]
+    C = S - 5
+    gw, gh = grid_wh
+    n_tiles = gw * gh
+
+    def kernel(*refs):
+        _cohort_kernel(rounds, S, C, gh, n_tiles, Llen, rules, *refs)
+
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[any_spec] * 2,
+        out_specs=any_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (S + C, gw * TILE_X, gh * TILE_Y), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, S, SX, SY), jnp.float32),       # state windows
+            pltpu.VMEM((2, A, SX, SY), jnp.float32),       # aux windows
+            pltpu.VMEM((2, S + C, TILE_X, TILE_Y), jnp.float32),  # out
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(STp, AUXp)
+
+
+def cohort_advance(st0, aux, rules, iters, Llen, *, interpret=False):
+    """`iters` cohort transit rounds with HALO_K-blocked HBM passes.
+
+    Args:
+      st0: (5+C, W, H) initial cohort state (weight, momentum,
+        second velocity moments, carried totals).
+      aux: (3+A, W, H) static per-cell fields: acceleration, domain
+        mask, rules aux.
+      rules: physics callback (see module docstring); traced into the
+        kernel, so it must be jnp-pure with static captured scalars.
+      iters: transit rounds (static).
+      Llen: cell diagonal [m].
+    Returns:
+      (advanced (5+C, W, H) state, (C, W, H) accumulated deposits),
+      matching `cohort_advance_reference` to f32 roundoff.
+    """
+    S, W, H = st0.shape
+    C = S - 5
+    K = HALO_K
+    gw = -(-W // TILE_X)
+    gh = -(-H // TILE_Y)
+    Wp, Hp = gw * TILE_X, gh * TILE_Y
+
+    def pad_full(x):
+        return jnp.pad(
+            x, ((0, 0), (K, Wp - W + K), (K, Hp - H + _YPAD_R))
+        )
+
+    AUXp = pad_full(aux)
+    ST = jnp.pad(st0, ((0, 0), (0, Wp - W), (0, Hp - H)))
+    G = jnp.zeros((C, Wp, Hp), jnp.float32)
+
+    n_full, rem = divmod(int(iters), K)
+    for r in [K] * n_full + ([rem] if rem else []):
+        out = _cohort_call(
+            pad_full(ST), AUXp, rules, r, Llen, (gw, gh), interpret
+        )
+        ST = out[:S]
+        G = G + out[S:]
+    return ST[:, :W, :H], G[:, :W, :H]
+
+
+def use_pallas() -> bool:
+    """Pallas (Mosaic) on TPU; jnp reference elsewhere (CPU tests)."""
+    return jax.default_backend() == "tpu"
+
+
+def run_cohort(st0, aux, rules, iters, Llen):
+    """Backend-dispatched single-device cohort solve -> deposits."""
+    if use_pallas():
+        return cohort_advance(st0, aux, rules, int(iters), Llen)[1]
+    return cohort_advance_reference(st0, aux, rules, int(iters), Llen)[1]

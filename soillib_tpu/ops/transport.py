@@ -117,24 +117,43 @@ def expected_exp_step(vx, vy, coef):
 
     with u* = min(1, sqrt2 a). exp(coef * E[step]) understates the heavy
     particle tail (Jensen) — at debris-default rates that is a several-%
-    first-hop deposit bias (benchmarks/parity.py). Exponents clipped to
-    f32-safe range; a -> 0 reduces to the pure sqrt2 cap."""
+    first-hop deposit bias (benchmarks/parity.py).
+
+    Exponents are clipped to +-40, not merely the f32-safe +-88: each
+    axis factor is bounded by ~2 e^clip, so the PRODUCT of the two axis
+    MGFs must stay under f32 max (clip 80 gives e^160 = inf; 40 gives
+    ~2e35, finite). A primal inf here is poison even though callers
+    saturate carried totals at 1e30 — the saturating clip zeroes the
+    cotangent, but the multiply's own vjp still evaluates ybar * inf =
+    NaN in reverse mode. Growth factors beyond e^80 total are collapsed-
+    cell regimes already clamped downstream, so the forward change is
+    confined to states that were saturated anyway. a -> 0 reduces to the
+    pure sqrt2 cap."""
+    def expm1_k(x):
+        """expm1 with a kernel-lowerable decomposition (`lax.expm1_p` has
+        no Pallas TPU rule): cubic Taylor under |x| < 0.01 (rel error
+        < 2e-8 there — exp(x)-1 alone loses ~1e-7/|x| relative), plain
+        exp(x)-1 elsewhere (rel error <= 1.2e-5 at the branch point)."""
+        small = jnp.abs(x) < 0.01
+        series = x * (1.0 + x * (0.5 + x * (1.0 / 6.0)))
+        return jnp.where(small, series, jnp.exp(x) - 1.0)
+
     def axis_mgf(a, beta):
         tiny_a = a < 1e-20
         a_s = jnp.where(tiny_a, 1.0, a)
         u_star = jnp.minimum(1.0, _SQRT2 * a)
-        arg = jnp.clip(beta * u_star / a_s, -80.0, 80.0)
+        arg = jnp.clip(beta * u_star / a_s, -40.0, 40.0)
         small_b = jnp.abs(beta) < 1e-12
         beta_s = jnp.where(small_b, 1.0, beta)
         integral = jnp.where(
-            small_b, u_star, (a_s / beta_s) * jnp.expm1(arg)
+            small_b, u_star, (a_s / beta_s) * expm1_k(arg)
         )
         tail = jnp.maximum(0.0, 1.0 - _SQRT2 * a) * jnp.exp(
-            jnp.clip(_SQRT2 * beta, -80.0, 80.0)
+            jnp.clip(_SQRT2 * beta, -40.0, 40.0)
         )
         full = integral + tail
         return jnp.where(
-            tiny_a, jnp.exp(jnp.clip(_SQRT2 * beta, -80.0, 80.0)), full
+            tiny_a, jnp.exp(jnp.clip(_SQRT2 * beta, -40.0, 40.0)), full
         )
 
     beta = 0.5 * coef

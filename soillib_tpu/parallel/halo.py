@@ -150,6 +150,56 @@ class ShardHalo(Halo):
             G = self.crop_cf(advance(Gp, Ep, attp, vxp, vyp, rem), K)
         return G
 
+    def run_cohort(self, st0, aux, rules, iters: int, Llen):
+        """K-blocked distributed cohort sweep: exchange a K-wide ring of
+        the cohort state per K rounds, advance the K rounds block-locally
+        (the Pallas cohort kernel on TPU, the jnp loop elsewhere), keep
+        the block interior of state and deposits. Same trapezoid argument
+        as `run_transport`, applied to the nonlinear round.
+
+        Falls back to a per-round 1-cell exchange for blocks narrower
+        than K."""
+        from soillib_tpu.ops import cohort as CO
+        from soillib_tpu.ops.sweep import HALO_K as K
+
+        bw, bh = st0.shape[-2], st0.shape[-1]
+        if bw < K or bh < K:
+            return self._run_cohort_per_round(st0, aux, rules, iters, Llen)
+
+        auxp = self.pad_cf(aux, 0.0, K)
+        advance = (
+            CO.cohort_advance if CO.use_pallas()
+            else CO.cohort_advance_reference
+        )
+
+        ST = st0
+        G = jnp.zeros_like(st0[5:])
+        n_full, rem = divmod(int(iters), K)
+        for r in [K] * n_full + ([rem] if rem else []):
+            STp = self.pad_cf(ST, 0.0, K)
+            stn, gp = advance(STp, auxp, rules, r, Llen)
+            ST = self.crop_cf(stn, K)
+            G = G + self.crop_cf(gp, K)
+        return G
+
+    def _run_cohort_per_round(self, st0, aux, rules, iters: int, Llen):
+        """Per-round cohort-state halo exchange (1-cell ppermute/round)."""
+        from soillib_tpu.ops.cohort import cohort_round, shift_push
+
+        def push(payloads):
+            return self.crop_cf(
+                shift_push(tuple(self.pad_cf(p, 0.0) for p in payloads))
+            )
+
+        def body(_, carry):
+            st, G = carry
+            return cohort_round(st, G, aux, rules, Llen, push)
+
+        _, G = jax.lax.fori_loop(
+            0, int(iters), body, (st0, jnp.zeros_like(st0[5:]))
+        )
+        return G
+
     def _run_transport_per_round(self, E, att, vx, vy, iters: int):
         """Per-round payload halo exchange (1-cell ppermute per round)."""
         from soillib_tpu.ops.sweep import upwind_push_cf

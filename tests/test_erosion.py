@@ -161,34 +161,106 @@ def test_erode_step_runs_and_conserves_sanity(layers):
     assert (np.abs(h - (layers[0] + layers[1])) > 0).any()
 
 
-def test_transport_particles_close_to_field():
-    """The deterministic field solve is the expectation of the particle MC:
-    on a smooth slope the water-height fields must agree in the bulk."""
-    import jax
+# ---------------------------------------------------------------------------
+# Transport parity net: the field solvers vs the converged particle MC
+# oracle (the in-repo faithful port of erosion.cu:29-141 / 245-351).
+# Full study + methodology: benchmarks/parity.py and RESULTS.md; the
+# thresholds here sit just below the measured levels so regressions of
+# the cohort closure trip immediately.
+# ---------------------------------------------------------------------------
+
+
+def _parity_setup(terrain_name, warm):
+    import sys
+
+    sys.path.insert(0, "benchmarks")
+    import parity
 
     p = soil.param_t()
-    p.maxage = 48
-    p.nSamples = 60000
-    W, H = 24, 24
-    x = np.linspace(1, 0, W, dtype=np.float32)[:, None]
-    bed = np.broadcast_to(x, (W, H)).astype(np.float32)
-    layers = np.stack([bed, np.zeros((W, H), np.float32)], axis=0)
-    rain = np.ones((W, H), np.float32)
-    z = np.zeros((W, H), np.float32)
-    z2 = np.zeros((2, W, H), np.float32)
-    white = np.ones((3, W, H), np.float32)
+    p.nSamples = 32 * 32 * 24
+    p.maxage = 64
+    p.transportIterations = 62  # == MC deposit opportunities (maxage - 2)
+    scale = (0.078, 0.078, 4.0)
+    terr = parity.make_terrains(32, (terrain_name,))[terrain_name]
+    state = parity.make_state(terr, warm, scale, p)
+    return parity, state, scale, p
 
-    dis_f, *_ = soil.transport_fluvial(layers, rain, z, z, z2, white, SCALE, p, method="field")
-    dis_p, *_ = soil.transport_fluvial(
-        layers, rain, z, z, z2, white, SCALE, p,
-        method="particles", key=jax.random.PRNGKey(0),
-    )
-    a = np.asarray(dis_f)[4:-4, 4:-4]
-    b = np.asarray(dis_p)[4:-4, 4:-4]
-    # MC noise: compare smoothed means within 15%
-    np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.15)
-    corr = np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1]
-    assert corr > 0.7
+
+def _check(rep, field, rel_max, corr_min):
+    m = rep[field]
+    assert m["rel_mean"] <= rel_max, (field, m)
+    # When the MC oracle itself has no spatial signal (split-half self-
+    # correlation ~ 0, e.g. a constant field), correlation is noise —
+    # require tracking the noise floor instead.
+    target = min(corr_min, m["mc_selfcorr"] - 0.1)
+    assert m["corr"] >= target, (field, m)
+
+
+def test_parity_fluvial_smooth():
+    """Converged MC vs field solve, smooth ramp, warm state: all output
+    fields within 3% mean / 0.97 correlation (measured ~0.5% / 0.997)."""
+    parity, st, scale, p = _parity_setup("ramp", warm=6)
+    rep = parity.compare_fluvial(st, scale, p, 8)
+    for f in ("discharge", "mass", "momentum", "albedo"):
+        _check(rep, f, rel_max=0.03, corr_min=0.97)
+
+
+def test_parity_fluvial_structured():
+    """Steep structured terrain: discharge/mass/momentum within 5% mean,
+    0.90 correlation (measured ~1% / 0.95-0.99)."""
+    parity, st, scale, p = _parity_setup("steep", warm=6)
+    rep = parity.compare_fluvial(st, scale, p, 8)
+    for f in ("discharge", "mass", "momentum"):
+        _check(rep, f, rel_max=0.05, corr_min=0.90)
+
+
+def test_parity_fluvial_conditioned_documented_bias():
+    """Conditioned DEM: the Gaussian velocity-moment closure leaves a
+    documented residual (non-Gaussian velocity mixtures at confluences,
+    RESULTS.md): discharge ≤5% mean / ≥0.78 corr, momentum ≥0.45."""
+    parity, st, scale, p = _parity_setup("conditioned", warm=6)
+    rep = parity.compare_fluvial(st, scale, p, 8)
+    _check(rep, "discharge", rel_max=0.05, corr_min=0.78)
+    _check(rep, "momentum", rel_max=0.05, corr_min=0.45)
+
+
+def test_parity_debris():
+    """Debris cohort rheology vs converged MC on ramp AND structured
+    terrain — the round-1 gap (static field solve: rel 100%, corr 0)."""
+    parity, st, scale, p = _parity_setup("steep", warm=6)
+    rep = parity.compare_debris(st, scale, p, 8)
+    for f in ("mass", "momentum", "albedo"):
+        _check(rep, f, rel_max=0.03, corr_min=0.90)
+
+    parity, st, scale, p = _parity_setup("ramp", warm=6)
+    rep = parity.compare_debris(st, scale, p, 8)
+    for f in ("mass", "momentum", "albedo"):
+        _check(rep, f, rel_max=0.03, corr_min=0.90)
+
+
+def test_parity_coupled_trajectory():
+    """Multi-step coupled parity: 10 field-stepped vs particle-stepped
+    steps on the ramp; the field trajectory must track the MC reference
+    band on every prognostic field."""
+    import sys
+
+    sys.path.insert(0, "benchmarks")
+    import parity
+
+    p = soil.param_t()
+    p.maxage = 64
+    p.transportIterations = 62
+    p.timeStep = 500.0
+    p.nSamples = 32 * 32 * 48
+    scale = (0.078, 0.078, 4.0)
+    terr = parity.make_terrains(32, ("ramp",))["ramp"]
+    rep = parity.compare_coupled(terr, scale, p, steps=10, n_rep=2)
+    assert rep["height"]["field_vs_mc_corr"] >= 0.999, rep["height"]
+    assert rep["height"]["field_vs_mc_relmean"] <= 0.005, rep["height"]
+    assert rep["discharge"]["field_vs_mc_corr"] >= 0.93, rep["discharge"]
+    assert rep["discharge"]["field_vs_mc_relmean"] <= 0.08, rep["discharge"]
+    assert rep["mass"]["field_vs_mc_corr"] >= 0.90, rep["mass"]
+    assert rep["debris"]["field_vs_mc_relmean"] <= 0.05, rep["debris"]
 
 
 def test_erosion_extreme_terrain_stays_finite():

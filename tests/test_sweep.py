@@ -110,3 +110,66 @@ def test_backward_checkpointed_matches_reference_grad():
     )(E)
     np.testing.assert_allclose(np.asarray(g_ck), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def _cohort_problem(key, C, W, H):
+    """Random cohort state/aux with a debris-like rules callback."""
+    ks = jax.random.split(key, 6)
+    w0 = jnp.abs(jax.random.normal(ks[0], (W, H))) + 0.5
+    speed0 = jax.random.normal(ks[1], (2, W, H)) * 3.0
+    carried0 = jnp.abs(jax.random.normal(ks[2], (C, W, H)))
+    accel = jax.random.normal(ks[3], (2, W, H))
+    excess = jax.random.normal(ks[4], (W, H))
+    mask = jnp.ones((1, W, H))
+    aux = jnp.concatenate([accel, mask, excess[None]], axis=0)
+    st0 = jnp.concatenate(
+        [jnp.stack([w0, w0 * speed0[0], w0 * speed0[1],
+                    w0 * speed0[0] ** 2, w0 * speed0[1] ** 2], axis=0),
+         carried0], axis=0)
+
+    def rules(dL, inv, w, carried, unit2, aux_tail):
+        from soillib_tpu.ops.transport import expected_exp_step
+
+        ux, uy = unit2
+        decay = 0.1 + jnp.abs(aux_tail[0])
+        w1 = 1.0 / (1.0 + dL * decay)
+        fac = expected_exp_step(ux, uy, -decay * inv)
+        return w1, carried * fac[None]
+
+    return st0, aux, rules
+
+
+@pytest.mark.parametrize("iters", [1, 16, 21, 48])
+def test_cohort_kernel_matches_reference(iters):
+    """Temporally-blocked Pallas cohort sweep == per-round jnp reference
+    on the DEPOSITS (the output contract), including multi-pass +
+    remainder cases. The advanced state is asserted only at depth 1:
+    deep into the sweep the surviving cohorts are near-dead (w ~ 1e-5,
+    carried totals decayed to noise scale) and alive-threshold flips
+    from f32 reassociation make the state chaotic without affecting any
+    deposit above tolerance — measured: G maxabs stays < 4e-6 through 48
+    rounds while dead-state rel diffs blow up."""
+    from soillib_tpu.ops.cohort import cohort_advance, cohort_advance_reference
+
+    st0, aux, rules = _cohort_problem(jax.random.PRNGKey(0), 3, 72, 60)
+    st_w, g_w = cohort_advance_reference(st0, aux, rules, iters, 0.11)
+    st_g, g_g = cohort_advance(st0, aux, rules, iters, 0.11, interpret=True)
+    np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_w),
+                               rtol=2e-6, atol=1e-5)
+    if iters == 1:
+        np.testing.assert_allclose(np.asarray(st_g), np.asarray(st_w),
+                                   rtol=2e-6, atol=1e-5)
+
+
+def test_cohort_kernel_multitile():
+    """Several tiles in both dims."""
+    from soillib_tpu.ops.cohort import cohort_advance, cohort_advance_reference
+
+    st0, aux, rules = _cohort_problem(jax.random.PRNGKey(1), 2, 420, 300)
+    _, g_w = cohort_advance_reference(st0, aux, rules, 9, 0.11)
+    _, g_g = cohort_advance(st0, aux, rules, 9, 0.11, interpret=True)
+    # rtol 2e-5: the nonlinear round body (expm1/exp MGF chain) fuses in
+    # a different order per compilation context; ~1e-5 rel noise on O(1)
+    # deposits after 9 rounds is f32 reassociation, not structure.
+    np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_w),
+                               rtol=2e-5, atol=1e-5)
