@@ -143,7 +143,7 @@ def test_fbm_native_matches_jax():
     """Same lattice hash + gradients; float rounding may flip the simplex
     corner choice on a handful of cells, so the match is statistical."""
     from soillib_tpu.ops.noise import noise, noise_t
-    p = noise_t(octaves=4, ext=(64.0, 64.0))
+    p = noise_t(octaves=4, ext=(64.0, 64.0), compat=False)
     want = np.asarray(noise((48, 40), p))
     got = native.fbm2((48, 40), p.ext, p.frequency, p.octaves, p.gain,
                       p.lacunarity, p.seed)
