@@ -21,9 +21,12 @@ from soillib_tpu.parallel.mesh import (
     factor2,
     grid_sharding,
     grid_spec,
+    leaf_spec,
     make_mesh,
     shard_field,
+    shard_field_global,
     shard_state,
+    shard_state_global,
 )
 from soillib_tpu.parallel.halo import ShardHalo, exchange_axis
 from soillib_tpu.parallel.erosion import make_sharded_erode_fn, sharded_erode

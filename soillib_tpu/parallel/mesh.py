@@ -77,6 +77,22 @@ def shard_state(state, mesh: Mesh):
     return jax.tree_util.tree_map(lambda a: shard_field(a, mesh), state)
 
 
+def shard_field_global(arr, mesh: Mesh):
+    """Multi-process-safe placement of a host-replicated field: each
+    process contributes only its addressable shards of the global array
+    (`jax.make_array_from_callback`). Single-process this is equivalent
+    to `shard_field`; on a pod it is the required form, since
+    `device_put` cannot target non-addressable devices."""
+    a = np.asarray(arr)
+    sharding = NamedSharding(mesh, leaf_spec(a, mesh))
+    return jax.make_array_from_callback(a.shape, sharding, lambda idx: a[idx])
+
+
+def shard_state_global(state, mesh: Mesh):
+    """Pytree version of `shard_field_global` (pod launch path)."""
+    return jax.tree_util.tree_map(lambda a: shard_field_global(a, mesh), state)
+
+
 def check_divisible(shape, mesh: Mesh, radius: int = 1):
     """Validate that (W, H) splits evenly and blocks are at least `radius`
     wide (a halo exchange only reaches the adjacent block)."""
