@@ -72,6 +72,17 @@ def fixed_point(step, init, max_iters):
     return out
 
 
+def roll2(a, dx, dy):
+    """jnp.roll by (dx, dy) as per-axis rolls, skipping zero shifts: a
+    zero shift lowers to a zero-sized vector slice, which Mosaic rejects
+    when the roll runs inside a Pallas kernel (graph_tiled.py)."""
+    if dx:
+        a = jnp.roll(a, dx, axis=0)
+    if dy:
+        a = jnp.roll(a, dy, axis=1)
+    return a
+
+
 def _push_once(payload, slot, edge):
     """Dense one-hot push: each cell sends `payload` to its receiver.
 
@@ -84,7 +95,7 @@ def _push_once(payload, slot, edge):
     out = jnp.zeros_like(payload)
     for d, (dx, dy) in enumerate(shifts):
         contrib = jnp.where(slot == d, payload, 0.0)
-        out = out + jnp.roll(contrib, (int(dx), int(dy)), axis=(0, 1))
+        out = out + roll2(contrib, int(dx), int(dy))
     return out
 
 

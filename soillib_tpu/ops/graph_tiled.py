@@ -28,13 +28,16 @@ dense VPU stencils, phase 3 is O(#boundary · tiles-crossed) scalar work.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 from soillib_tpu.core.grid import D8, shifts_for
-from soillib_tpu.ops.graph_sweep import _push_once, fixed_point
+from soillib_tpu.ops.graph_sweep import _push_once, fixed_point, roll2
 
 TILE = 128
 
@@ -61,7 +64,7 @@ def _pull(value, slot, edge, fill):
     shifts = shifts_for(edge)
     out = jnp.full_like(value, fill)
     for d, (dx, dy) in enumerate(shifts):
-        rolled = jnp.roll(value, (-int(dx), -int(dy)), axis=(0, 1))
+        rolled = roll2(value, -int(dx), -int(dy))
         out = jnp.where(slot == d, rolled, out)
     return out
 
@@ -76,12 +79,116 @@ def _boundary_indices(W, H):
     return np.flatnonzero(mask.reshape(-1)).astype(np.int32)
 
 
+# ---------------------------------------------------------------------------
+# VMEM-resident tile solves (Pallas). Phases 1/2/4 are per-tile fixed
+# points (every cross-tile edge is cut), so each tile's solve is fully
+# self-contained: load the tile into VMEM once, iterate to bitwise
+# convergence there, write the result once — ONE HBM pass per phase
+# instead of one every BLOCK rounds of the full-grid fixed point. The
+# kernels reuse `fixed_point` / `_push_once` / `_pull` verbatim, so the
+# Pallas and jnp paths are the same arithmetic in the same order
+# (bitwise-equal results; tests/test_graph_tiled.py).
+# ---------------------------------------------------------------------------
+
+
+def _local_fp_kernel(edge, max_iters, lslot_ref, src_ref, w_ref, out_ref):
+    """Per-tile local accumulation. jnp.roll wrap lanes land only on
+    donors whose edges are cut (payload 0), exactly as in the full-grid
+    form."""
+    slot = lslot_ref[...]
+    src = src_ref[...]
+    w = w_ref[...]
+    out_ref[...] = fixed_point(
+        lambda G: _push_once(w * (src + G), slot, edge),
+        jnp.zeros_like(src), max_iters,
+    )
+
+
+def _trace_kernel(edge, max_iters, slot_ref, cross_ref, recv_ref, w_ref,
+                  x_out, d_out):
+    """Per-tile chain trace: every pulled value comes from the cell's
+    in-tile receiver (cells whose receiver is off-tile hold their X0/D0
+    boundary condition), so the tile solve is self-contained."""
+    slot = slot_ref[...]
+    cross = cross_ref[...] != 0
+    recv = recv_ref[...]
+    w = w_ref[...]
+    is_root = slot < 0
+    X0 = jnp.where(cross, recv, -1)
+    D0 = jnp.where(is_root, 0.0, w)
+    in_tile = ~cross & ~is_root
+
+    def trace(c):
+        X, D = c
+        Xr = _pull(X, slot, edge, -1)
+        Dr = _pull(D, slot, edge, 0.0)
+        return (
+            jnp.where(in_tile, Xr, X0),
+            jnp.where(in_tile, w * Dr, D0),
+        )
+
+    X, D = fixed_point(trace, (X0, D0), max_iters)
+    x_out[...] = X
+    d_out[...] = D
+
+
+def _pad_tiles(a, fill):
+    W, H = a.shape
+    gw, gh = -(-W // TILE), -(-H // TILE)
+    return jnp.pad(
+        a, ((0, gw * TILE - W), (0, gh * TILE - H)), constant_values=fill
+    ), (gw, gh)
+
+
+def _tile_spec():
+    return pl.BlockSpec((TILE, TILE), lambda i, j: (i, j))
+
+
+def _local_fp_pallas(lslot, src, w, edge, max_iters, interpret):
+    W, H = src.shape
+    ls, (gw, gh) = _pad_tiles(lslot, -1)
+    out = pl.pallas_call(
+        functools.partial(_local_fp_kernel, edge, max_iters),
+        grid=(gw, gh),
+        in_specs=[_tile_spec()] * 3,
+        out_specs=_tile_spec(),
+        out_shape=jax.ShapeDtypeStruct(ls.shape, jnp.float32),
+        interpret=interpret,
+    )(ls, _pad_tiles(src, 0)[0], _pad_tiles(w, 0)[0])
+    return out[:W, :H]
+
+
+def _trace_pallas(slot, cross, recv, w, edge, max_iters, interpret):
+    W, H = slot.shape
+    sl, (gw, gh) = _pad_tiles(slot, -1)
+    X, D = pl.pallas_call(
+        functools.partial(_trace_kernel, edge, max_iters),
+        grid=(gw, gh),
+        in_specs=[_tile_spec()] * 4,
+        out_specs=(_tile_spec(), _tile_spec()),
+        out_shape=(
+            jax.ShapeDtypeStruct(sl.shape, jnp.int32),
+            jax.ShapeDtypeStruct(sl.shape, jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        sl,
+        _pad_tiles(cross.astype(jnp.int32), 0)[0],
+        _pad_tiles(recv, 0)[0],
+        _pad_tiles(w, 0)[0],
+    )
+    return X[:W, :H], D[:W, :H]
+
+
 def accumulate_tiled(direction_slots, value, weight=None, edge: int = D8,
-                     max_iters: int = None):
+                     max_iters: int = None, tile_solver: str = None):
     """Exact upstream accumulation via the two-level scheme.
 
     Args match ops.graph_sweep.accumulate_stencil; result is identical to
-    the single-level fixed point / pointer doubling.
+    the single-level fixed point / pointer doubling. `tile_solver` picks
+    the phase-1/2/4 engine: "pallas" (VMEM-resident tile fixed points —
+    the TPU default; interpreted off-TPU), "jnp" (full-grid fixed
+    points), None = auto by backend.
     """
     slot = jnp.asarray(direction_slots)
     v = jnp.asarray(value, jnp.float32)
@@ -95,38 +202,51 @@ def accumulate_tiled(direction_slots, value, weight=None, edge: int = D8,
         # the convergence check exits at the actual longest path.
         max_iters = TILE * TILE
     w = jnp.ones_like(v) if weight is None else jnp.asarray(weight, jnp.float32)
-    shifts = shifts_for(edge)
     is_root = slot < 0
     lslot, cross = _local_slot(W, H, slot, edge)
 
-    # ---- Phase 1: local accumulation (cross-tile edges cut) --------------
-    G_loc = fixed_point(
-        lambda G: _push_once(w * (v + G), lslot, edge), jnp.zeros_like(v),
-        max_iters,
-    )
+    if tile_solver is None:
+        tile_solver = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    use_pl = tile_solver == "pallas"
+    interp = use_pl and jax.default_backend() != "tpu"
+    # In-kernel bound: the longest IN-TILE path visits each tile cell once.
+    tile_iters = min(int(max_iters), TILE * TILE)
 
-    # ---- Phase 2: chain exit pointer X and delivery coefficient D --------
-    # Per cell: flux arriving at it is delivered to entry cell X (global
-    # flat index in the NEIGHBOR tile) with weight D; roots deliver nowhere.
+    # Per cell: the receiver's global flat index (x-major; 0 at roots —
+    # never read there). Needed by phases 2 and 3.
     n = jnp.arange(W * H, dtype=jnp.int32).reshape(W, H)
     recv = _pull(n, slot, edge, 0)
 
-    X0 = jnp.where(cross, recv, -1)
-    # D = w on every edge-bearing cell, 0 at roots (cross cells are never
-    # roots, so no special case).
-    D0 = jnp.where(is_root, 0.0, w)
-
-    def trace(c):
-        X, D = c
-        Xr = _pull(X, slot, edge, -1)
-        Dr = _pull(D, slot, edge, 0.0)
-        in_tile = ~cross & ~is_root
-        return (
-            jnp.where(in_tile, Xr, X0),
-            jnp.where(in_tile, w * Dr, D0),
+    if use_pl:
+        # ---- Phases 1+2, VMEM-resident per tile --------------------------
+        G_loc = _local_fp_pallas(lslot, v, w, edge, tile_iters, interp)
+        X, D = _trace_pallas(slot, cross, recv, w, edge, tile_iters, interp)
+    else:
+        # ---- Phase 1: local accumulation (cross-tile edges cut) ----------
+        G_loc = fixed_point(
+            lambda G: _push_once(w * (v + G), lslot, edge),
+            jnp.zeros_like(v), max_iters,
         )
 
-    X, D = fixed_point(trace, (X0, D0), max_iters)
+        # ---- Phase 2: chain exit pointer X and delivery coefficient D ----
+        # Flux arriving at a cell is delivered to entry cell X (global flat
+        # index in the NEIGHBOR tile) with weight D; roots deliver nowhere.
+        X0 = jnp.where(cross, recv, -1)
+        # D = w on every edge-bearing cell, 0 at roots (cross cells are
+        # never roots, so no special case).
+        D0 = jnp.where(is_root, 0.0, w)
+
+        def trace(c):
+            X, D = c
+            Xr = _pull(X, slot, edge, -1)
+            Dr = _pull(D, slot, edge, 0.0)
+            in_tile = ~cross & ~is_root
+            return (
+                jnp.where(in_tile, Xr, X0),
+                jnp.where(in_tile, w * Dr, D0),
+            )
+
+        X, D = fixed_point(trace, (X0, D0), max_iters)
 
     # ---- Phase 3: coarse boundary system (compact, pointer-doubled) ------
     from soillib_tpu.ops.graph import compact_index, operator_doubling
@@ -152,8 +272,11 @@ def accumulate_tiled(direction_slots, value, weight=None, edge: int = D8,
 
     # ---- Phase 4: inject entry fluxes and distribute in-tile -------------
     F_grid = jnp.zeros(W * H, jnp.float32).at[bidx].set(F).reshape(W, H)
-    G_inj = fixed_point(
-        lambda G: _push_once(w * (F_grid + G), lslot, edge),
-        jnp.zeros_like(v), max_iters,
-    )
+    if use_pl:
+        G_inj = _local_fp_pallas(lslot, F_grid, w, edge, tile_iters, interp)
+    else:
+        G_inj = fixed_point(
+            lambda G: _push_once(w * (F_grid + G), lslot, edge),
+            jnp.zeros_like(v), max_iters,
+        )
     return v + G_loc + F_grid + G_inj
