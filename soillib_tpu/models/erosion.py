@@ -337,21 +337,15 @@ def _3len(a):
     return jnp.sqrt(jnp.sum(a * a, axis=-1))
 
 
-def _fluvial_cohort(t, rainfall, discharge, p, iters, halo=NO_HALO):
-    """Age-structured cohort solve of the fluvial transport — the default
-    field method. Carries the per-particle attenuation products
-    (att_w*source_w, att_m*source_m, att_v*source_v, att_m*source_a) as
-    cohort totals while the cohort velocity evolves by the implicit-Euler
-    friction update (erosion.cu:100-136), so trajectory curvature, pit
-    oscillation damping, and speed-dependent transit times are all
-    represented (the static-attenuation solve is not — see
-    transport_fluvial). Returns (7, W, H) deposits."""
-    speed = t["speed"]
-    Llen = t["Llen"]
-    A = t["A"]
-    kd, fD, nu, tau = t["kd"], t["fD"], t["nu"], t["tau"]
+def make_fluvial_rules(p, Llen):
+    """The fluvial cohort physics callback (module-level so bench.py's
+    roofline can trace the REAL closure — see bench.py cohort_round_ops).
+    Captures only static scalars; per-cell inputs ride in `aux`."""
+    kd = p.depositionRateFluvial * 1.33   # erosion.cu:69
+    fD = p.frictionFactor / 8.0           # erosion.cu:70
+    nu = p.viscosityWater
+    tau = p.bedShearWater
     evap = p.evapRate
-    accel = t["E_v"] / A + t["force"][:, None, None]
 
     def rules(dL, inv, w, carried, unit2, aux):
         ux, uy = unit2
@@ -379,6 +373,24 @@ def _fluvial_cohort(t, rainfall, discharge, p, iters, halo=NO_HALO):
             axis=0,
         )
         return w1, carried_out
+
+    return rules
+
+
+def _fluvial_cohort(t, rainfall, discharge, p, iters, halo=NO_HALO):
+    """Age-structured cohort solve of the fluvial transport — the default
+    field method. Carries the per-particle attenuation products
+    (att_w*source_w, att_m*source_m, att_v*source_v, att_m*source_a) as
+    cohort totals while the cohort velocity evolves by the implicit-Euler
+    friction update (erosion.cu:100-136), so trajectory curvature, pit
+    oscillation damping, and speed-dependent transit times are all
+    represented (the static-attenuation solve is not — see
+    transport_fluvial). Returns (7, W, H) deposits."""
+    speed = t["speed"]
+    Llen = t["Llen"]
+    A = t["A"]
+    accel = t["E_v"] / A + t["force"][:, None, None]
+    rules = make_fluvial_rules(p, Llen)
 
     W, H = rainfall.shape
     bd = _birth_density(W, H, halo=halo)
@@ -558,6 +570,62 @@ def _fluvial_particles(
 # ---------------------------------------------------------------------------
 
 
+def make_debris_rules(p, Llen, rho):
+    """The debris cohort physics callback (module-level so bench.py's
+    roofline can trace the REAL closure). `rho` = particles born per cell
+    (N-aware closure, see transport_debris)."""
+    nu = p.viscosityDebris
+    tau = p.bedShearDebris
+    g = p.gravity
+    kdd = p.depositionRateDebris
+    kds = p.suspensionRateDebris
+    tau_y = p.yieldStress
+
+    def rules(dL, inv, w, carried, unit2, aux):
+        ux, uy = unit2
+        excess0 = aux[0]
+        M, AVx, AVy = carried[0], carried[1], carried[2]
+        B = carried[3:]
+        # Per-particle carried mass, capped at 1e12 (double-where):
+        # thin-but-alive cohorts keep the exact intensive M/(w rho)
+        # — carried totals scale with w, so the ratio stays O(1) as
+        # cohorts spread — while saturated pathology (M at the 1e30
+        # clamp over w ~ 1e-12) would otherwise put the division's
+        # reverse-mode residual out/den ~ 1e43 past f32 under XLA's
+        # reassociation freedom (see _RATE_CLIP).
+        den = w * rho
+        big = M > den * 1e12
+        m_pp = jnp.where(big, 1e12, M / jnp.where(big, 1.0, den))
+        debrisHeight = _EPS + m_pp
+        decay = nu + tau / debrisHeight
+        w1 = 1.0 / (1.0 + dL * decay)
+
+        excessStress = g * (excess0 - tau_y / debrisHeight)
+        shearRate = jnp.where(excessStress < 0.0, kdd, kds)
+        # decay_d = ds * rate * stress / v (erosion.cu:344) with
+        # ds = dL/v — linear in the crossing distance, so the cohort
+        # factor is the exact position-averaged expectation rather
+        # than exp at the mean step (Jensen bias otherwise).
+        fac_d = expected_exp_step(
+            ux, uy,
+            jnp.clip(Llen * inv * shearRate * excessStress * inv,
+                     -_RATE_CLIP, _RATE_CLIP),
+        )
+        fac_v = expected_exp_step(
+            ux, uy, jnp.clip(-Llen * decay, -_RATE_CLIP, 0.0)
+        )
+        carried_out = jnp.concatenate(
+            [
+                jnp.stack([M * fac_d, AVx * fac_v, AVy * fac_v], axis=0),
+                B * fac_d[None],
+            ],
+            axis=0,
+        )
+        return w1, carried_out
+
+    return rules
+
+
 def transport_debris(
     layers,
     mass,
@@ -592,12 +660,8 @@ def transport_debris(
 
     theta = p.critSlopeBedrock
     nu = p.viscosityDebris
-    tau = p.bedShearDebris
     g = p.gravity
     kl = p.landslideRateDebris
-    kdd = p.depositionRateDebris
-    kds = p.suspensionRateDebris
-    tau_y = p.yieldStress
 
     grad = godunov_gradient(merged_height(layers), scale, p.exitSlope, halo)
     vel = momentum  # (2, W, H)
@@ -632,48 +696,7 @@ def transport_debris(
         _, _, Wg, Hg = halo.global_offsets((W, H))  # global grid dims
         rho = float(p.nSamples) / float(Wg * Hg)    # particles born per cell
         accel = E_v / A
-
-        def rules(dL, inv, w, carried, unit2, aux):
-            ux, uy = unit2
-            excess0 = aux[0]
-            M, AVx, AVy = carried[0], carried[1], carried[2]
-            B = carried[3:]
-            # Per-particle carried mass, capped at 1e12 (double-where):
-            # thin-but-alive cohorts keep the exact intensive M/(w rho)
-            # — carried totals scale with w, so the ratio stays O(1) as
-            # cohorts spread — while saturated pathology (M at the 1e30
-            # clamp over w ~ 1e-12) would otherwise put the division's
-            # reverse-mode residual out/den ~ 1e43 past f32 under XLA's
-            # reassociation freedom (see _RATE_CLIP).
-            den = w * rho
-            big = M > den * 1e12
-            m_pp = jnp.where(big, 1e12, M / jnp.where(big, 1.0, den))
-            debrisHeight = _EPS + m_pp
-            decay = nu + tau / debrisHeight
-            w1 = 1.0 / (1.0 + dL * decay)
-
-            excessStress = g * (excess0 - tau_y / debrisHeight)
-            shearRate = jnp.where(excessStress < 0.0, kdd, kds)
-            # decay_d = ds * rate * stress / v (erosion.cu:344) with
-            # ds = dL/v — linear in the crossing distance, so the cohort
-            # factor is the exact position-averaged expectation rather
-            # than exp at the mean step (Jensen bias otherwise).
-            fac_d = expected_exp_step(
-                ux, uy,
-                jnp.clip(Llen * inv * shearRate * excessStress * inv,
-                         -_RATE_CLIP, _RATE_CLIP),
-            )
-            fac_v = expected_exp_step(
-                ux, uy, jnp.clip(-Llen * decay, -_RATE_CLIP, 0.0)
-            )
-            carried_out = jnp.concatenate(
-                [
-                    jnp.stack([M * fac_d, AVx * fac_v, AVy * fac_v], axis=0),
-                    B * fac_d[None],
-                ],
-                axis=0,
-            )
-            return w1, carried_out
+        rules = make_debris_rules(p, Llen, rho)
 
         # Cohort weight = the reference sampler's birth density (quirk,
         # see _birth_density); per-particle carried mass M/(w*rho) is

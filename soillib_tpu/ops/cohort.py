@@ -84,17 +84,21 @@ def shift_push(payloads):
     )
 
 
-def _norm_cdf(z):
+def _norm_cdf(z, gauss):
     """Standard-normal CDF via the Abramowitz-Stegun 7.1.26 rational
     erf approximation (max abs error 1.5e-7 — below f32 noise on the
     stream weights): `jax.lax.erf` has no Pallas TPU lowering, and the
     jnp reference path uses this same approximation so the kernel and
-    reference stay numerically identical."""
+    reference stay numerically identical.
+
+    `gauss` = exp(-z²/2), shared with the caller's phi — the erf
+    approximation needs exp(-x²) at x = z/√2, which is the same value,
+    so the round's hottest transcendental is computed once."""
     x = jnp.abs(z) * 0.7071067811865476
     t = 1.0 / (1.0 + 0.3275911 * x)
     poly = t * (0.254829592 + t * (-0.284496736 + t * (
         1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    erf_abs = 1.0 - poly * jnp.exp(-x * x)
+    erf_abs = 1.0 - poly * gauss
     erf_z = jnp.sign(z) * erf_abs
     return 0.5 * (1.0 + erf_z)
 
@@ -120,8 +124,9 @@ def _axis_streams(mu, m2):
     # 1e-20 floor would leave — margin XLA's reassociation freedom in
     # compiled scans requires (see models/erosion.py _RATE_CLIP).
     z = jnp.clip(mu / sigma_s, -6.0, 6.0)
-    phi = jnp.exp(-0.5 * z * z) * 0.3989422804014327
-    Phi = jnp.clip(_norm_cdf(z), 1e-9, 1.0)
+    gauss = jnp.exp(-0.5 * z * z)
+    phi = gauss * 0.3989422804014327
+    Phi = jnp.clip(_norm_cdf(z, gauss), 1e-9, 1.0)
     Phn = jnp.clip(1.0 - Phi, 1e-9, 1.0)
 
     Epos = jnp.where(small, jnp.maximum(mu, 0.0),
@@ -154,8 +159,9 @@ def cohort_round(st, G, aux, rules, Llen, push):
     sums second moments exactly."""
     w = st[0]
     safe_w = jnp.maximum(w, _EPS)
-    vbx, vby = st[1] / safe_w, st[2] / safe_w
-    m2x, m2y = st[3] / safe_w, st[4] / safe_w
+    inv_w = 1.0 / safe_w  # one reciprocal instead of four divides
+    vbx, vby = st[1] * inv_w, st[2] * inv_w
+    m2x, m2y = st[3] * inv_w, st[4] * inv_w
     carried = st[5:]
     accel = aux[:2]
 
@@ -172,18 +178,18 @@ def cohort_round(st, G, aux, rules, Llen, push):
     Exp, Exn, cxp, cxn, m2xp, m2xn = _axis_streams(vbx, m2x)
     Eyp, Eyn, cyp, cyn, m2yp, m2yn = _axis_streams(vby, m2y)
     denom = Exp + Exn + Eyp + Eyn
-    denom = jnp.where(denom <= 0.0, 1.0, denom)
-    wxp, wxn = Exp / denom, Exn / denom
-    wyp, wyn = Eyp / denom, Eyn / denom
+    inv_denom = 1.0 / jnp.where(denom <= 0.0, 1.0, denom)
+    wxp, wxn = Exp * inv_denom, Exn * inv_denom
+    wyp, wyn = Eyp * inv_denom, Eyn * inv_denom
 
     # Direction cosines for the step rule / attenuation anisotropy: the
     # dispersion-weighted axis shares (reduce to |v̂| components when
     # sigma -> 0).
     ax = Exp + Exn
     ay = Eyp + Eyn
-    an = jnp.sqrt(jnp.maximum(ax * ax + ay * ay, _EPS * _EPS))
-    ux = ax / an
-    uy = ay / an
+    inv_an = jax.lax.rsqrt(jnp.maximum(ax * ax + ay * ay, _EPS * _EPS))
+    ux = ax * inv_an
+    uy = ay * inv_an
     step = stepsize_expected(ux, uy)
     dL = step * Llen
 
@@ -388,9 +394,24 @@ def cohort_advance(st0, aux, rules, iters, Llen, *, interpret=False):
     G = jnp.zeros((C, Wp, Hp), jnp.float32)
 
     n_full, rem = divmod(int(iters), K)
-    for r in [K] * n_full + ([rem] if rem else []):
+    if n_full:
+        # lax.scan, NOT a Python loop: unrolled passes compile one pallas
+        # call per pass and the TPU scheduler hoists the calls above the
+        # deposit adds, keeping every pass's (S+C, W, H) output block live
+        # simultaneously — 512 default rounds = 32 passes = tens of GB of
+        # HLO temps (OOM at 4096²). The scan body reuses one set of
+        # buffers regardless of pass count.
+        def body(carry, _):
+            ST, G = carry
+            out = _cohort_call(
+                pad_full(ST), AUXp, rules, K, Llen, (gw, gh), interpret
+            )
+            return (out[:S], G + out[S:]), None
+
+        (ST, G), _ = jax.lax.scan(body, (ST, G), None, length=n_full)
+    if rem:
         out = _cohort_call(
-            pad_full(ST), AUXp, rules, r, Llen, (gw, gh), interpret
+            pad_full(ST), AUXp, rules, rem, Llen, (gw, gh), interpret
         )
         ST = out[:S]
         G = G + out[S:]

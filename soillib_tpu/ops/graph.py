@@ -290,6 +290,7 @@ def _auto_method(method, shape):
 
 
 def _accumulate_dispatch(g, value, w, edge, method, max_iters):
+    shifts_for(edge)  # validate up front: the doubling path never reads it
     method = _auto_method(method, g.shape)
     if method == "tiled":
         from soillib_tpu.ops.graph_tiled import accumulate_tiled

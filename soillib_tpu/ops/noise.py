@@ -127,8 +127,9 @@ _PRIME_Z = np.int32(1720413743)
 _HASH_MUL = np.int32(0x27D4EB2D)
 
 # 64-entry 3-D gradient table (FastNoiseLite.h Gradients3D): five repeats of
-# the 12 cube-edge-midpoint directions, then a 4-entry tail. Stored as three
-# component vectors so the gather is a flat table lookup per component.
+# the 12 cube-edge-midpoint directions, then a 4-entry tail (aliases of
+# rows 8, 1, 9, 3). Kept for the oracle test; the hot path decodes the
+# components arithmetically (see _os2_grad).
 _OS2_GRADS = np.array(
     [[0, 1, 1], [0, -1, 1], [0, 1, -1], [0, -1, -1],
      [1, 0, 1], [-1, 0, 1], [1, 0, -1], [-1, 0, -1],
@@ -141,12 +142,30 @@ _OS2_GRADS = np.array(
 def _os2_grad(seed, i, j, k, xd, yd, zd):
     """GradCoord (FastNoiseLite.h:537-550): prime-XOR hash, avalanche
     multiply, arithmetic >>15 fold, 64-way gradient dot product. All int
-    arithmetic is wrapping int32 (XLA semantics match C here)."""
+    arithmetic is wrapping int32 (XLA semantics match C here).
+
+    The table lookup is decoded arithmetically instead of gathered: a
+    (N, 3) gather result lane-pads the minor dim 3 up to 128 on TPU
+    (32 GiB of HLO temp at 8192²), and every component is in {-1, 0, +1}
+    with a regular structure — row m of the 12 base directions zeroes
+    axis m>>2 and signs the other two by bits m&1 / m&2
+    (tests/test_noise.py pins the decode against the table)."""
     h = (seed ^ i ^ j ^ k) * _HASH_MUL
     h = h ^ (h >> 15)
     gi = (h >> 2) & 63
-    g = jnp.asarray(_OS2_GRADS)[gi]
-    return g[..., 0] * xd + g[..., 1] * yd + g[..., 2] * zd
+    t = gi - 60
+    m_tail = jnp.where(
+        t == 0, 8, jnp.where(t == 1, 1, jnp.where(t == 2, 9, 3))
+    )
+    m = jnp.where(gi < 60, gi % 12, m_tail)
+    g2 = m >> 2  # which axis is zero: 0 -> x, 1 -> y, 2 -> z
+    s0 = (1 - ((m & 1) << 1)).astype(jnp.float32)
+    s1 = (1 - (m & 2)).astype(jnp.float32)
+    zero = jnp.zeros_like(xd)
+    gx = jnp.where(g2 == 0, zero, s0)
+    gy = jnp.where(g2 == 0, s0, jnp.where(g2 == 2, s1, zero))
+    gz = jnp.where(g2 == 2, zero, s1)
+    return gx * xd + gy * yd + gz * zd
 
 
 def _fast_round(f):

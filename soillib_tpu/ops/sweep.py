@@ -234,10 +234,19 @@ def transport_advance(G0, E, att, vx, vy, iters: int, *, interpret: bool = False
     G = jnp.pad(jnp.asarray(G0, jnp.float32),
                 ((0, 0), (0, Wp - W), (0, Hp - H)))
     n_full, rem = divmod(int(iters), K)
-    for _ in range(n_full):
-        Gp = jnp.pad(G, ((0, 0), (K, K), (K, _YPAD_R)))
-        G = _sweep_call(Gp, Ep, Ap, Vx, Vy,
-                        rounds=K, grid_wh=(gw, gh), interpret=interpret)
+    if n_full:
+        # lax.scan keeps ONE pass's buffers live however many passes run
+        # (a Python loop unrolls into per-pass pallas calls whose output
+        # blocks the TPU scheduler keeps simultaneously live — see
+        # ops/cohort.py cohort_advance).
+        def body(G, _):
+            Gp = jnp.pad(G, ((0, 0), (K, K), (K, _YPAD_R)))
+            return _sweep_call(
+                Gp, Ep, Ap, Vx, Vy,
+                rounds=K, grid_wh=(gw, gh), interpret=interpret,
+            ), None
+
+        G, _ = jax.lax.scan(body, G, None, length=n_full)
     if rem:
         Gp = jnp.pad(G, ((0, 0), (K, K), (K, _YPAD_R)))
         G = _sweep_call(Gp, Ep, Ap, Vx, Vy,

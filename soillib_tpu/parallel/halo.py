@@ -142,9 +142,14 @@ class ShardHalo(Halo):
 
         G = jnp.zeros_like(E)
         n_full, rem = divmod(int(iters), K)
-        for _ in range(n_full):
-            Gp = self.pad_cf(G, 0.0, K)
-            G = self.crop_cf(advance(Gp, Ep, attp, vxp, vyp, K), K)
+        if n_full:
+            # lax.scan bounds buffer liveness to one pass (see
+            # ops/cohort.py cohort_advance).
+            def body(G, _):
+                Gp = self.pad_cf(G, 0.0, K)
+                return self.crop_cf(advance(Gp, Ep, attp, vxp, vyp, K), K), None
+
+            G, _ = jax.lax.scan(body, G, None, length=n_full)
         if rem:
             Gp = self.pad_cf(G, 0.0, K)
             G = self.crop_cf(advance(Gp, Ep, attp, vxp, vyp, rem), K)
@@ -175,10 +180,19 @@ class ShardHalo(Halo):
         ST = st0
         G = jnp.zeros_like(st0[5:])
         n_full, rem = divmod(int(iters), K)
-        for r in [K] * n_full + ([rem] if rem else []):
+        if n_full:
+            # lax.scan bounds buffer liveness to one pass (see
+            # ops/cohort.py cohort_advance).
+            def body(carry, _):
+                ST, G = carry
+                STp = self.pad_cf(ST, 0.0, K)
+                stn, gp = advance(STp, auxp, rules, K, Llen)
+                return (self.crop_cf(stn, K), G + self.crop_cf(gp, K)), None
+
+            (ST, G), _ = jax.lax.scan(body, (ST, G), None, length=n_full)
+        if rem:
             STp = self.pad_cf(ST, 0.0, K)
-            stn, gp = advance(STp, auxp, rules, r, Llen)
-            ST = self.crop_cf(stn, K)
+            stn, gp = advance(STp, auxp, rules, rem, Llen)
             G = G + self.crop_cf(gp, K)
         return G
 

@@ -66,3 +66,25 @@ def test_compat_noise_jits_and_is_deterministic():
     np.testing.assert_array_equal(a, b)
     eager = np.asarray(soil.noise((48, 48), p))
     np.testing.assert_allclose(a, eager, atol=2e-3)
+
+
+def test_os2_grad_decode_matches_table():
+    """The arithmetic gradient decode (gather-free, see _os2_grad) must
+    reproduce the vendored Gradients3D table for every index."""
+    import jax.numpy as jnp
+
+    from soillib_tpu.ops.noise import _OS2_GRADS
+
+    gi = jnp.arange(64, dtype=jnp.int32)
+    t = gi - 60
+    m_tail = jnp.where(t == 0, 8, jnp.where(t == 1, 1, jnp.where(t == 2, 9, 3)))
+    m = jnp.where(gi < 60, gi % 12, m_tail)
+    g2 = m >> 2
+    s0 = (1 - ((m & 1) << 1)).astype(jnp.float32)
+    s1 = (1 - (m & 2)).astype(jnp.float32)
+    zero = jnp.zeros_like(s0)
+    gx = jnp.where(g2 == 0, zero, s0)
+    gy = jnp.where(g2 == 0, s0, jnp.where(g2 == 2, s1, zero))
+    gz = jnp.where(g2 == 2, zero, s1)
+    dec = np.stack([np.asarray(gx), np.asarray(gy), np.asarray(gz)], -1)
+    np.testing.assert_array_equal(dec, _OS2_GRADS)
