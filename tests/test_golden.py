@@ -6,8 +6,11 @@ BASELINE.md). Any numerical change to the model shows up here; intended
 drift must update the goldens deliberately.
 """
 
+import os
+
 import jax
 import numpy as np
+import pytest
 
 import soillib_tpu as soil
 
@@ -38,6 +41,75 @@ def test_erosion_trajectory_matches_golden():
         np.testing.assert_allclose(arr.std(), std, rtol=1e-3, err_msg=name)
         np.testing.assert_allclose(np.abs(arr).max(), absmax, rtol=1e-3,
                                    err_msg=name)
+
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _block_means(a, k):
+    W, H = a.shape
+    return np.asarray(a).reshape(W // k, k, H // k, k).mean(axis=(1, 3))
+
+
+def _check_traj(n, steps, npz):
+    """Trajectory golden at reference-like scale: field statistics AND a
+    16x16 block-mean fingerprint (catches spatially-compensating drift
+    the scalar stats are blind to). Artifacts from tools/gen_goldens.py."""
+    g = np.load(os.path.join(DATA, npz))
+    param = soil.ErosionParams()
+    param.transportIterations = 16
+    scale = (0.1, 0.1, 4.0)
+    h = soil.noise((n, n), soil.noise_t(seed=5.0, ext=(float(n),) * 2))
+    h = np.asarray(h) * 0.5 + 2.0
+    state = soil.ErosionState.zeros((n, n), height=h)
+    state = soil.erode(state, scale, param, steps=steps,
+                       key=jax.random.PRNGKey(3))
+    for name in ("height", "discharge", "sediment"):
+        arr = np.asarray(getattr(state, name))
+        stats = np.array([arr.mean(), arr.std(), np.abs(arr).max()])
+        np.testing.assert_allclose(stats, g[f"{name}_stats"], rtol=5e-3,
+                                   err_msg=name)
+    for name in ("height", "discharge"):
+        arr = np.asarray(getattr(state, name))
+        np.testing.assert_allclose(
+            _block_means(arr, n // 16), g[f"{name}_blocks"],
+            rtol=1e-2, atol=1e-3, err_msg=f"{name} fingerprint",
+        )
+
+
+def test_erosion_trajectory_golden_128x30():
+    _check_traj(128, 30, "golden_traj128.npz")
+
+
+@pytest.mark.skipif(os.environ.get("SOIL_SLOW_TESTS") != "1",
+                    reason="~10 min on CPU; set SOIL_SLOW_TESTS=1")
+def test_erosion_trajectory_golden_256x100():
+    _check_traj(256, 100, "golden_traj256.npz")
+
+
+def test_dem_pipeline_golden():
+    """The dem_process workload (example/dem_process.py:29-39 in the
+    reference): GeoTIFF read -> fill_depressions -> steepest ->
+    accumulate_decay, pinned end-to-end (codec included) on a stored DEM."""
+    import jax.numpy as jnp
+
+    g = np.load(os.path.join(DATA, "golden_pipeline.npz"))
+    r = soil.geotiff()
+    r.read(os.path.join(DATA, "golden_dem.tif"))
+    dem = r.tensor
+
+    filled = soil.fill_depressions(dem)
+    flow = soil.steepest(filled, soil.d8)
+    acc = soil.accumulate_decay(flow, jnp.ones_like(dem), 0.9, soil.d8)
+
+    np.testing.assert_allclose(np.asarray(filled - dem).sum(),
+                               g["fill_delta_sum"], rtol=1e-4)
+    assert int((np.asarray(flow) < 0).sum()) == int(g["n_roots"])
+    acc_np = np.asarray(acc)
+    np.testing.assert_allclose(acc_np.mean(), g["acc_mean"], rtol=1e-4)
+    np.testing.assert_allclose(acc_np.max(), g["acc_max"], rtol=1e-4)
+    np.testing.assert_allclose(_block_means(acc_np, 8), g["acc_blocks"],
+                               rtol=1e-3, atol=1e-4)
 
 
 def test_trajectory_is_deterministic():
