@@ -1,23 +1,44 @@
 """Headline benchmark: coupled erosion step throughput (grid-points/s/chip).
 
 Config is the BASELINE.md north star: 4096² grid, full coupled step
-(fluvial + debris transport @ 32 upwind rounds each, mass transfer, creep),
-single chip. The reference publishes no numbers (BASELINE.md), so
-`vs_baseline` is reported against the *HBM speed-of-light* for the step: an
-analytic minimum-traffic byte model of the fused step divided by the chip's
-measured stream bandwidth (self-calibrated each run with a saxpy sweep).
-vs_baseline == 1.0 would mean the step runs at memory speed-of-light.
+(fluvial + debris age-structured cohort transport @ 32 rounds each, mass
+transfer, creep), single chip. The reference publishes no numbers
+(BASELINE.md), so `vs_baseline` is reported against the step's own
+*speed-of-light*: the lower of
+
+  * HBM roofline — an analytic minimum-traffic byte model of the
+    temporally-blocked cohort passes divided by measured stream bandwidth
+    (self-calibrated each run with an in-jit saxpy loop), and
+  * compute roofline — the per-cell-round VPU op count of the actual
+    cohort round (counted mechanically from its jaxpr, with measured
+    fma-equivalent cost weights for exp/div/sqrt/pow) divided by the
+    measured VPU f32 throughput (self-calibrated with an in-jit fma loop).
+
+Both ceilings are deliberately optimistic (minimum traffic; transport
+flops only — the ~5% non-transport step work is excluded), so
+vs_baseline == 1.0 is a true speed-of-light and the number cannot
+flatter the implementation.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "gridpoint-steps/s", "vs_baseline": N}
+plus a human-readable roofline breakdown on stderr.
 """
 
 import argparse
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+
+def _sync(x):
+    """True device sync: pull one element to host. block_until_ready alone
+    does not flush the async dispatch queue on the tunneled TPU platform."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    jax.block_until_ready(x)
+    float(jnp.asarray(leaf).ravel()[0])
 
 
 def measure_stream_bw(n_bytes=1 << 28, reps=50):
@@ -39,37 +60,246 @@ def measure_stream_bw(n_bytes=1 << 28, reps=50):
     return reps * 2 * n * 4 / dt  # bytes/s (read + write)
 
 
-def _sync(x):
-    """True device sync: pull one element to host. block_until_ready alone
-    does not flush the async dispatch queue on the tunneled TPU platform."""
-    leaf = jax.tree_util.tree_leaves(x)[0]
-    jax.block_until_ready(x)
-    float(jnp.asarray(leaf).ravel()[0])
+_VPU_SHAPE = (256, 512)  # 512 KB VMEM block
+_VPU_ILP = 16            # independent ops per loop round (hide op latency)
+
+# Elementwise-op/s ceiling by device kind: VPU ALUs x (8, 128) lanes x
+# clock. Mosaic's measured behavior is latency-bound on synthetic probes
+# (vreg-serial scheduling), so the probe alone understates the hardware;
+# the roofline uses max(probe, spec) — the HIGHER ceiling keeps
+# vs_baseline honest.
+_VPU_SPEC_OPS = {
+    "TPU v5 lite": 4 * 8 * 128 * 0.94e9,   # v5e: 3.85e12
+    "TPU v5": 4 * 8 * 128 * 0.94e9,
+    "TPU v4": 4 * 8 * 128 * 1.05e9,
+    "TPU v6 lite": 4 * 8 * 128 * 1.7e9,
+}
+
+
+def _vpu_loop_time(body, reps, interpret):
+    """Seconds for `reps` rounds of `body` (vector -> vector, internally
+    `_VPU_ILP`-wide) over a VMEM-resident f32 block inside ONE Pallas
+    kernel. An XLA-level fori_loop would materialize the carry through
+    HBM each round and measure bandwidth, not the VPU."""
+    from jax.experimental import pallas as pl
+
+    def kernel(x_ref, o_ref):
+        y = x_ref[...]
+        y = jax.lax.fori_loop(0, reps, lambda _, y: body(y), y)
+        o_ref[...] = y
+
+    f = jax.jit(
+        lambda x: pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(_VPU_SHAPE, jnp.float32),
+            interpret=interpret,
+        )(x)
+    )
+    x = jnp.full(_VPU_SHAPE, 0.5, jnp.float32)
+    _sync(f(x))
+    t0 = time.perf_counter()
+    _sync(f(x))
+    return time.perf_counter() - t0
+
+
+def _ilp_body(op):
+    """k independent applications of `op` + a reduction — the probe shape
+    that actually pipelines on the VPU (a serial self-chain measures op
+    LATENCY: ~25 Gop/s vs ~475 Gop/s for this body on v5e)."""
+    def body(y):
+        terms = [op(y, i) for i in range(_VPU_ILP)]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc * (1.0 / _VPU_ILP)
+
+    return body
+
+
+def measure_vpu():
+    """Elementwise-op/s ceiling and per-op cost weights for the roofline.
+
+    Returns (ops_per_s, {op: cost}) where ops_per_s = max(measured ILP-16
+    fma probe, device-spec peak) and cost = measured throughput ratio of
+    exp/div/sqrt vs fma (~1 on TPU: the VPU has hardware approximations)."""
+    interpret = jax.devices()[0].platform != "tpu"
+    reps = 8 if interpret else 256
+    n = _VPU_SHAPE[0] * _VPU_SHAPE[1]
+    per_round = 2 * _VPU_ILP  # k ops + (k-1) adds + 1 mul
+
+    dt_fma = _vpu_loop_time(
+        _ilp_body(lambda y, i: y * (1.0 + 1e-7 * i) + 1e-9), reps, interpret
+    )
+    probe = per_round * n * reps / dt_fma
+    kind = jax.devices()[0].device_kind
+    spec = 0.0
+    for k, v in _VPU_SPEC_OPS.items():
+        if kind.startswith(k):
+            spec = max(spec, v)
+    ops_rate = max(probe, spec)
+
+    # Per-op cost c from the runtime ratio: the op body does k ops-under-
+    # test + k combining ops vs the fma body's 2k unit ops, so
+    # dt_op/dt_fma = (k c + k) / 2k  =>  c = 2 dt_op/dt_fma - 1.
+    costs = {
+        "exp": max(1.0, _vpu_loop_time(
+            _ilp_body(lambda y, i: jnp.exp(y * (1 + 1e-7 * i)) * 1e-9),
+            reps, interpret) / dt_fma * 2.0 - 1.0),
+        "div": max(1.0, _vpu_loop_time(
+            _ilp_body(lambda y, i: (1.0 + 1e-7 * i) / (y + 1.0)),
+            reps, interpret) / dt_fma * 2.0 - 1.0),
+        "sqrt": max(1.0, _vpu_loop_time(
+            _ilp_body(lambda y, i: jnp.sqrt(y + 1.0 + 1e-7 * i)),
+            reps, interpret) / dt_fma * 2.0 - 1.0),
+    }
+    return ops_rate, costs
+
+
+# Elementwise primitive -> fma-equivalent weight class. Data movement
+# (concatenate from rolls, select) counts 1: it occupies a VPU/VMEM slot
+# per element even though it does no arithmetic.
+_SIMPLE = {
+    "add", "sub", "mul", "max", "min", "neg", "abs", "sign", "floor",
+    "and", "or", "xor", "not", "lt", "le", "gt", "ge", "eq", "ne",
+    "select_n", "clamp", "concatenate", "rev", "convert_element_type",
+    "stop_gradient", "integer_pow", "is_finite", "shift_right_logical",
+    "shift_left", "rem",
+}
+_WEIGHTED = {"exp": "exp", "log": "exp", "exp2": "exp", "log2": "exp",
+             "tanh": "exp", "div": "div", "sqrt": "sqrt", "rsqrt": "sqrt",
+             "pow": "exp"}
+_FREE = {"broadcast_in_dim", "reshape", "squeeze", "slice", "copy",
+         "reduce_max", "reduce_min", "reduce_sum", "reduce_and",
+         "reduce_or", "transpose", "iota", "pad", "dynamic_slice",
+         "dynamic_update_slice", "bitcast_convert_type", "custom_jvp_call",
+         "custom_vjp_call", "pjit", "closed_call", "remat", "while", "scan",
+         "cond"}
+
+
+def _count_ops(jaxpr, costs, n_cells):
+    """Weighted VPU op count of a jaxpr (recursing into calls), with a
+    local value-numbering CSE so duplicated subexpressions — which XLA
+    deduplicates before lowering — are not double-counted (counting them
+    would understate the speed-of-light and flatter vs_baseline)."""
+    import numpy as np
+    try:
+        from jax.extend.core import Literal
+    except ImportError:  # older jax
+        from jax.core import Literal
+
+    total = 0.0
+    canon = {}
+    seen = {}
+
+    def cid(v):
+        if isinstance(v, Literal):
+            val = np.asarray(v.val)
+            return ("lit", val.tobytes() if val.size <= 16 else id(v))
+        return canon.get(v, v)
+
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        sub = [v for k, v in eqn.params.items()
+               if k in ("jaxpr", "call_jaxpr", "branches", "cond_jaxpr",
+                        "body_jaxpr")]
+        if sub:
+            for s in sub:
+                core = getattr(s, "jaxpr", s)
+                if isinstance(core, (list, tuple)):
+                    for c in core:
+                        total += _count_ops(getattr(c, "jaxpr", c), costs,
+                                            n_cells)
+                else:
+                    total += _count_ops(core, costs, n_cells)
+            continue
+        if not eqn.outvars:
+            continue
+        if prim in _SIMPLE or prim in _WEIGHTED:
+            try:
+                key = (prim, tuple(cid(v) for v in eqn.invars),
+                       str(sorted(eqn.params.items())))
+            except Exception:
+                key = None
+            if key is not None:
+                if key in seen:
+                    for ov, prev in zip(eqn.outvars, seen[key]):
+                        canon[ov] = prev
+                    continue
+                seen[key] = [cid(ov) for ov in eqn.outvars]
+        size = 0
+        for ov in eqn.outvars:
+            aval = ov.aval
+            k = 1
+            for d in getattr(aval, "shape", ()):
+                k *= d
+            size = max(size, k)
+        if prim in _SIMPLE:
+            total += size
+        elif prim in _WEIGHTED:
+            total += size * costs[_WEIGHTED[prim]]
+        # everything else (layout/control/reduce) ~free at this granularity
+    return total
+
+
+def cohort_round_ops(costs):
+    """Per-cell fma-equivalent op count of ONE fluvial + ONE debris cohort
+    round — the body the Pallas kernel iterates, counted from the traced
+    jaxpr of the REAL model closures (models/erosion.py
+    make_fluvial_rules / make_debris_rules + ops/cohort.py cohort_round)."""
+    from soillib_tpu.models.erosion import make_debris_rules, \
+        make_fluvial_rules
+    from soillib_tpu.models.params import ErosionParams
+    from soillib_tpu.ops import cohort as co
+
+    W, H = 8, 128
+    n_cells = W * H
+    p = ErosionParams()
+    Llen = 0.11
+    total = {}
+    for phase, (C, A, rules) in {
+        "fluvial": (7, 1, make_fluvial_rules(p, Llen)),
+        "debris": (6, 1, make_debris_rules(p, Llen, 1.0)),
+    }.items():
+        S = 5 + C
+        st = jnp.ones((S, W, H), jnp.float32)
+        G = jnp.zeros((C, W, H), jnp.float32)
+        aux = jnp.ones((3 + A, W, H), jnp.float32)
+        jaxpr = jax.make_jaxpr(
+            lambda st, G, aux, rules=rules: co.cohort_round(
+                st, G, aux, rules, Llen, co.shift_push
+            )
+        )(st, G, aux)
+        total[phase] = _count_ops(jaxpr.jaxpr, costs, n_cells) / n_cells
+    return total
 
 
 def step_bytes_per_cell(iters: int) -> float:
     """Minimum HBM traffic per cell per coupled step with the temporally-
-    blocked Pallas sweep (ops/sweep.py, K=16 rounds per HBM pass): each
-    pass reads G/E/att windows (+vx, vy), re-pads and writes G; fluvial
-    carries 7 channels, debris 6; plus ~40 float32 field touches for
-    terms/normalize/transfer/creep."""
+    blocked cohort passes (ops/cohort.py, K=16 rounds per pass): each pass
+    reads the (5+C)-channel state window, the (3+A)-channel aux window and
+    the old C-channel deposit tile, writes the state interior and the
+    updated deposits (aliased in place), and the scan carry update copies
+    the state interior back into the padded buffer (read + write); plus
+    ~40 float32 field touches for terms/normalize/transfer/creep."""
     from soillib_tpu.ops.sweep import HALO_K
 
     passes = -(-iters // HALO_K)
 
-    def transport(C):
-        per_pass = (3 * C + 2) * 4        # window reads
-        per_pass += C * 4                 # G write-back
-        per_pass += 2 * C * 4             # G re-pad copy (read + write)
+    def cohort(C, A):
+        S = 5 + C
+        per_pass = (S + (3 + A) + C) * 4  # window + old-G reads
+        per_pass += (S + C) * 4           # state + deposit write-back
+        per_pass += 2 * S * 4             # carry update copy
         return passes * per_pass
 
     rest = 40 * 4
-    return transport(7) + transport(6) + rest
+    return cohort(7, 1) + cohort(6, 1) + rest
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=0, help="grid edge (default 4096 tpu / 256 cpu)")
+    ap.add_argument("--size", type=int, default=0,
+                    help="grid edge (default 4096 tpu / 256 cpu)")
     ap.add_argument("--iters", type=int, default=32, help="transport rounds")
     ap.add_argument("--steps", type=int, default=8, help="timed steps")
     args = ap.parse_args()
@@ -83,6 +313,7 @@ def main():
     scale = (0.078, 0.078, 4.0)
     height = soil.noise((W, H), soil.noise_t()) * 0.5 + 1.0
     state = soil.ErosionState.zeros((W, H), height=height)
+    del height  # 256 MB at 8192² — every buffer counts against HBM
     param = soil.ErosionParams()
     param.transportIterations = args.iters
 
@@ -101,12 +332,37 @@ def main():
     cells = W * H
     value = args.steps * cells / dt
 
-    bw = measure_stream_bw()
-    sol = bw / step_bytes_per_cell(args.iters)  # speed-of-light cell-steps/s
+    # Shared-chip tunnel runs are noisy; the CEILING wants the best
+    # achievable number, so take the max over repeats.
+    bw = max(measure_stream_bw() for _ in range(3))
+    hbm_sol = bw / step_bytes_per_cell(args.iters)
+
+    vpu_ops, costs = measure_vpu()
+    round_ops = cohort_round_ops(costs)
+    ops_per_cell_step = (round_ops["fluvial"] + round_ops["debris"]) \
+        * args.iters
+    # Both sides are weighted elementwise ops (fma-equivalents).
+    compute_sol = vpu_ops / ops_per_cell_step
+
+    sol = min(hbm_sol, compute_sol)
+    print(
+        f"[roofline] stream bw {bw/1e9:.0f} GB/s, "
+        f"bytes/cell-step {step_bytes_per_cell(args.iters):.0f} "
+        f"-> HBM SoL {hbm_sol/1e6:.1f} M/s | "
+        f"VPU {vpu_ops/1e12:.2f} Top/s "
+        f"(exp {costs['exp']:.1f}, div {costs['div']:.1f}, "
+        f"sqrt {costs['sqrt']:.1f} fma-eq), "
+        f"round ops/cell: fluvial {round_ops['fluvial']:.0f} + "
+        f"debris {round_ops['debris']:.0f} "
+        f"-> compute SoL {compute_sol/1e6:.1f} M/s | "
+        f"binding: {'HBM' if hbm_sol < compute_sol else 'VPU'}",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
-                "metric": f"coupled erosion grid-point-steps/s/chip @{W}x{H}, {args.iters} transport rounds",
+                "metric": f"coupled erosion grid-point-steps/s/chip "
+                          f"@{W}x{H}, {args.iters} transport rounds",
                 "value": round(value, 1),
                 "unit": "gridpoint-steps/s",
                 "vs_baseline": round(value / sol, 4),

@@ -162,6 +162,14 @@ def _compiled_step(frozen_params, scale, steps, donate=False):
         setattr(param, name, value)
 
     def fn(state, key):
+        if steps == 1:
+            # No fori_loop wrapper for a single step: the while-loop level
+            # pins the full state carry alongside the body's temps and
+            # blocks XLA from aliasing the step output onto the input —
+            # ~0.5 GB of headroom at 8192² (the margin it OOMs by).
+            key, sub = jax.random.split(key)
+            return erode_step(state, scale, param, sub)
+
         def body(i, carry):
             st, k = carry
             k, sub = jax.random.split(k)

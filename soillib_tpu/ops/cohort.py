@@ -249,13 +249,18 @@ def cohort_advance_reference(st0, aux, rules, iters, Llen):
 
 
 def _cohort_kernel(rounds, S, C, gh, n_tiles, Llen, rules,
-                   st_hbm, aux_hbm, g_out_hbm,
-                   st_v, aux_v, g_v, sems, out_sem):
+                   st_hbm, aux_hbm, g_in_hbm,
+                   st_out_hbm, g_out_hbm,
+                   st_v, aux_v, gold_v, stout_v, gnew_v, sems, out_sems):
     """Double-buffered window pipeline (see ops/sweep.py `_sweep_kernel`):
-    tile t's windows DMA while t-1 computes; the advanced state interior
-    and the pass's deposit accumulation are written back as one stacked
-    (S + C)-channel block, and the host loop re-pads the state between
-    passes (see `cohort_advance`)."""
+    tile t's windows DMA while t-1 computes. Outputs are SPLIT — the
+    advanced state interior goes to st_out, and the running deposit total
+    is accumulated IN KERNEL: the old G tile is DMA'd in, the pass's
+    deposits added, and the sum written back to g_out, which the caller
+    aliases onto g_in (tiles are disjoint, so the read-modify-write has
+    no cross-tile hazard). This removes the host-side G add and the
+    fresh (S+C)-channel output block per pass — at 8192² that block plus
+    the host re-pad were ~8 GB of HLO temps."""
     t = pl.program_id(0)
     slot = jax.lax.rem(t, 2)
 
@@ -266,21 +271,34 @@ def _cohort_kernel(rounds, S, C, gh, n_tiles, Llen, rules,
         y0 = jj * TILE_Y
         return [
             pltpu.make_async_copy(
-                src.at[..., pl.ds(x0, SX), pl.ds(y0, SY)], dst.at[s],
-                sems.at[s, k],
-            )
-            for k, (src, dst) in enumerate([(st_hbm, st_v), (aux_hbm, aux_v)])
+                st_hbm.at[:, pl.ds(x0, SX), pl.ds(y0, SY)], st_v.at[s],
+                sems.at[s, 0],
+            ),
+            pltpu.make_async_copy(
+                aux_hbm.at[:, pl.ds(x0, SX), pl.ds(y0, SY)], aux_v.at[s],
+                sems.at[s, 1],
+            ),
+            pltpu.make_async_copy(
+                g_in_hbm.at[:, pl.ds(ii * TILE_X, TILE_X),
+                            pl.ds(jj * TILE_Y, TILE_Y)], gold_v.at[s],
+                sems.at[s, 2],
+            ),
         ]
 
-    def out_dma(s, ti):
+    def out_dmas(s, ti):
         ii = ti // gh
         jj = jax.lax.rem(ti, gh)
-        return pltpu.make_async_copy(
-            g_v.at[s],
-            g_out_hbm.at[:, pl.ds(ii * TILE_X, TILE_X),
-                         pl.ds(jj * TILE_Y, TILE_Y)],
-            out_sem.at[s],
-        )
+        tile = (pl.ds(ii * TILE_X, TILE_X), pl.ds(jj * TILE_Y, TILE_Y))
+        return [
+            pltpu.make_async_copy(
+                stout_v.at[s], st_out_hbm.at[:, tile[0], tile[1]],
+                out_sems.at[s, 0],
+            ),
+            pltpu.make_async_copy(
+                gnew_v.at[s], g_out_hbm.at[:, tile[0], tile[1]],
+                out_sems.at[s, 1],
+            ),
+        ]
 
     @pl.when(t == 0)
     def _():
@@ -307,28 +325,31 @@ def _cohort_kernel(rounds, S, C, gh, n_tiles, Llen, rules,
 
     @pl.when(t >= 2)
     def _():
-        out_dma(slot, t - 2).wait()
+        for c in out_dmas(slot, t - 2):
+            c.wait()
 
-    # (state + deposits) interior: state goes into channels [0, S), the
-    # pass deposits into [S, S+C) of the same output block.
-    g_v[slot] = jnp.concatenate(
-        [st[:, HALO_K:HALO_K + TILE_X, HALO_K:HALO_K + TILE_Y],
-         G[:, HALO_K:HALO_K + TILE_X, HALO_K:HALO_K + TILE_Y]],
-        axis=0,
-    )
-    out_dma(slot, t).start()
+    stout_v[slot] = st[:, HALO_K:HALO_K + TILE_X, HALO_K:HALO_K + TILE_Y]
+    gnew_v[slot] = gold_v[slot] + G[:, HALO_K:HALO_K + TILE_X,
+                                    HALO_K:HALO_K + TILE_Y]
+    for c in out_dmas(slot, t):
+        c.start()
 
     @pl.when(t + 1 >= n_tiles)
     def _():
-        out_dma(slot, t).wait()
+        for c in out_dmas(slot, t):
+            c.wait()
 
     if n_tiles >= 2:
         @pl.when(t + 1 == n_tiles)
         def _():
-            out_dma(1 - slot, t - 1).wait()
+            for c in out_dmas(1 - slot, t - 1):
+                c.wait()
 
 
-def _cohort_call(STp, AUXp, rules, rounds, Llen, grid_wh, interpret):
+def _cohort_call(STp, AUXp, G, rules, rounds, Llen, grid_wh, interpret):
+    """One K-blocked pass: (padded state, padded aux, running deposits) ->
+    (advanced unpadded state, updated deposits). G is donated — the
+    deposit output aliases it (in-place tile read-modify-write)."""
     S = STp.shape[0]
     A = AUXp.shape[0]
     C = S - 5
@@ -342,23 +363,27 @@ def _cohort_call(STp, AUXp, rules, rounds, Llen, grid_wh, interpret):
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[any_spec] * 2,
-        out_specs=any_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (S + C, gw * TILE_X, gh * TILE_Y), jnp.float32
+        in_specs=[any_spec] * 3,
+        out_specs=(any_spec, any_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, gw * TILE_X, gh * TILE_Y), jnp.float32),
+            jax.ShapeDtypeStruct((C, gw * TILE_X, gh * TILE_Y), jnp.float32),
         ),
+        input_output_aliases={2: 1},
         scratch_shapes=[
             pltpu.VMEM((2, S, SX, SY), jnp.float32),       # state windows
             pltpu.VMEM((2, A, SX, SY), jnp.float32),       # aux windows
-            pltpu.VMEM((2, S + C, TILE_X, TILE_Y), jnp.float32),  # out
+            pltpu.VMEM((2, C, TILE_X, TILE_Y), jnp.float32),  # old G tiles
+            pltpu.VMEM((2, S, TILE_X, TILE_Y), jnp.float32),  # state out
+            pltpu.VMEM((2, C, TILE_X, TILE_Y), jnp.float32),  # new G tiles
+            pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(STp, AUXp)
+    )(STp, AUXp, G)
 
 
 def cohort_advance(st0, aux, rules, iters, Llen, *, interpret=False):
@@ -390,32 +415,38 @@ def cohort_advance(st0, aux, rules, iters, Llen, *, interpret=False):
         )
 
     AUXp = pad_full(aux)
-    ST = jnp.pad(st0, ((0, 0), (0, Wp - W), (0, Hp - H)))
+    # The state rides PADDED through the whole solve: the halo ring is
+    # zeroed once here and never written again (the kernel writes the
+    # interior only, via dynamic_update_slice on the scan carry), so no
+    # per-pass re-pad copy or fresh padded temp exists. With the deposit
+    # buffer aliased through the kernel, peak extra memory per pass is
+    # ONE unpadded state block (at 8192² the old concat-output + re-pad
+    # scheme held ~8 GB of HLO temps).
+    STp = pad_full(st0)
     G = jnp.zeros((C, Wp, Hp), jnp.float32)
+
+    def one_pass(STp, G, r):
+        st_out, G = _cohort_call(
+            STp, AUXp, G, rules, r, Llen, (gw, gh), interpret
+        )
+        STp = jax.lax.dynamic_update_slice(STp, st_out, (0, K, K))
+        return STp, G
 
     n_full, rem = divmod(int(iters), K)
     if n_full:
         # lax.scan, NOT a Python loop: unrolled passes compile one pallas
         # call per pass and the TPU scheduler hoists the calls above the
-        # deposit adds, keeping every pass's (S+C, W, H) output block live
-        # simultaneously — 512 default rounds = 32 passes = tens of GB of
-        # HLO temps (OOM at 4096²). The scan body reuses one set of
+        # carry updates, keeping every pass's output block live at once
+        # (default 512-round config = 32 passes = tens of GB of HLO
+        # temps, compile OOM at 4096²). The scan body reuses one set of
         # buffers regardless of pass count.
         def body(carry, _):
-            ST, G = carry
-            out = _cohort_call(
-                pad_full(ST), AUXp, rules, K, Llen, (gw, gh), interpret
-            )
-            return (out[:S], G + out[S:]), None
+            return one_pass(*carry, K), None
 
-        (ST, G), _ = jax.lax.scan(body, (ST, G), None, length=n_full)
+        (STp, G), _ = jax.lax.scan(body, (STp, G), None, length=n_full)
     if rem:
-        out = _cohort_call(
-            pad_full(ST), AUXp, rules, rem, Llen, (gw, gh), interpret
-        )
-        ST = out[:S]
-        G = G + out[S:]
-    return ST[:, :W, :H], G[:, :W, :H]
+        STp, G = one_pass(STp, G, rem)
+    return STp[:, K:K + W, K:K + H], G[:, :W, :H]
 
 
 def use_pallas() -> bool:
