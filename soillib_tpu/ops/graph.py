@@ -291,6 +291,8 @@ def _auto_method(method, shape):
 
 def _accumulate_dispatch(g, value, w, edge, method, max_iters):
     shifts_for(edge)  # validate up front: the doubling path never reads it
+    # Scalar value == uniform rain; broadcast so every method sees (W, H).
+    value = jnp.broadcast_to(jnp.asarray(value, jnp.float32), g.shape)
     method = _auto_method(method, g.shape)
     if method == "tiled":
         from soillib_tpu.ops.graph_tiled import accumulate_tiled

@@ -39,19 +39,24 @@ erosion.cu:29-141; same fixed point, TPU-native schedule.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HALO_K = 16           # rounds per HBM pass == halo width
-TILE_Y = 384          # output tile cols (lane dim; offsets stay 128-aligned)
-SX = 256              # row window (sublane dim; multiple of 8)
-SY = 512              # col window (128-aligned; TILE_Y + 2K <= SY required)
+# Window geometry. The stale K-cell halo ring plus the lane-alignment
+# slack are computed every round and thrown away, so the compute-bound
+# cohort kernel's efficiency is proportional to TILE_X*TILE_Y/(SX*SY)
+# (74% at these defaults). Env-overridable for tuning experiments.
+HALO_K = int(os.environ.get("SOIL_SWEEP_K", 16))   # rounds/pass == halo
+TILE_Y = int(os.environ.get("SOIL_SWEEP_TY", 512)) # tile cols (128-mult)
+SX = int(os.environ.get("SOIL_SWEEP_SX", 256))     # row window (8-mult)
+SY = int(os.environ.get("SOIL_SWEEP_SY", 640))     # col window (128-mult)
 TILE_X = SX - 2 * HALO_K          # output tile rows
 _YPAD_R = SY - TILE_Y - HALO_K    # right zero-pad beyond the last tile
-assert TILE_Y + 2 * HALO_K <= SY and TILE_X % 8 == 0
+assert TILE_Y + 2 * HALO_K <= SY and TILE_X % 8 == 0 and TILE_Y % 128 == 0
 
 # VMEM scratch grows linearly with channel count (three double-buffered
 # (C, SX, SY) windows ≈ 3 MB/channel plus fori_loop temporaries of the same
