@@ -312,7 +312,13 @@ def main():
     W = H = size
     scale = (0.078, 0.078, 4.0)
     height = soil.noise((W, H), soil.noise_t()) * 0.5 + 1.0
-    state = soil.ErosionState.zeros((W, H), height=height)
+    # Constant fields as broadcastable (1, 1) scalars: rainfall, uplift and
+    # bedrock albedo pass through the step unchanged, so full-grid copies
+    # of them are pure HBM waste (1.25 GB of arguments + as much again in
+    # pass-through output copies at 8192² — the margin it OOM'd by).
+    state = soil.ErosionState.zeros((W, H), height=height, rainfall=1.0,
+                                    uplift=0.0,
+                                    albedo_bedrock=(1.0, 1.0, 1.0))
     del height  # 256 MB at 8192² — every buffer counts against HBM
     param = soil.ErosionParams()
     param.transportIterations = args.iters

@@ -223,7 +223,11 @@ def _fluvial_terms(
     shear = 0.125 * fD * rho_w * v * v
     power = _safe_pow(jnp.maximum(shear * _len2(grad[0], grad[1]), 0.0), alpha)
     E_m = A * ks * power
-    E_w = A * R * rainfall
+    # Broadcast here: rainfall may be a (1, 1) constant field (see
+    # ErosionState.zeros) and E_w is concatenated with full-size channels.
+    E_w = jnp.broadcast_to(
+        A * R * jnp.asarray(rainfall, jnp.float32), E_m.shape
+    )
     E_v = A * (-(g * grad) + nu * vel)
     E_a = E_m[None] * albedo_surface
 
@@ -256,7 +260,8 @@ def transport_fluvial(
 
     Args:
       layers: (2, W, H) terrain state (bedrock, sediment).
-      rainfall: (W, H) water source field.
+      rainfall: (W, H) water source field (or any shape
+        broadcastable to it, e.g. a (1, 1) constant).
       discharge: (W, H) previous water height (velocity-attenuation input).
       mass: (W, H) previous suspended mass (unused; kept for API parity).
       momentum: (2, W, H) previous momentum field.
@@ -271,7 +276,7 @@ def transport_fluvial(
     t = _fluvial_terms(
         layers, rainfall, discharge, momentum, albedo_surface, scale, p, halo
     )
-    W, H = rainfall.shape
+    W, H = discharge.shape
 
     if method in ("field", "field-static"):
         # Default rounds = maxage - 2: the MC trajectory loop runs
@@ -392,7 +397,7 @@ def _fluvial_cohort(t, rainfall, discharge, p, iters, halo=NO_HALO):
     accel = t["E_v"] / A + t["force"][:, None, None]
     rules = make_fluvial_rules(p, Llen)
 
-    W, H = rainfall.shape
+    W, H = discharge.shape
     bd = _birth_density(W, H, halo=halo)
     carried0 = bd[None] * jnp.concatenate(
         [t["E_w"][None], t["E_m"][None], t["E_v"], t["E_a"]], axis=0
@@ -447,7 +452,7 @@ def _fluvial_particles(
     absorbs Q = 1/(P*N) into the per-particle source; equivalently each
     particle deposits source-rate * A * Ncells / N.
     """
-    W, H = rainfall.shape
+    W, H = discharge.shape
     sx, sy, sz = float(scale[0]), float(scale[1]), float(scale[2])
     A = sx * sy
     Lvec = jnp.array([sx, sy], jnp.float32)
@@ -480,7 +485,9 @@ def _fluvial_particles(
     ind = pos[:, 0].astype(jnp.int32) * H + pos[:, 1].astype(jnp.int32)
 
     mom_flat = jnp.moveaxis(jnp.asarray(momentum), 0, -1).reshape(-1, 2)
-    rain_flat = jnp.asarray(rainfall).reshape(-1)
+    rain_flat = jnp.broadcast_to(
+        jnp.asarray(rainfall, jnp.float32), (W, H)
+    ).reshape(-1)
     alb_flat = jnp.moveaxis(jnp.asarray(albedo_surface), 0, -1).reshape(-1, 3)
     dis_flat = jnp.asarray(discharge).reshape(-1)
     grad_flat = jnp.moveaxis(grad_field, 0, -1).reshape(-1, 2)

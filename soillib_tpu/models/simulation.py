@@ -78,23 +78,45 @@ class ErosionState:
         return dataclasses.replace(self, **kw)
 
     @staticmethod
-    def zeros(shape, height=None, rainfall=None, uplift=None, sediment=None):
-        """Fresh state on a (W, H) grid; `height` initializes bedrock."""
+    def zeros(shape, height=None, rainfall=None, uplift=None, sediment=None,
+              albedo_bedrock=None):
+        """Fresh state on a (W, H) grid; `height` initializes bedrock.
+
+        `rainfall`/`uplift` given as Python scalars (and `albedo_bedrock`
+        as a 3-color) are stored as broadcastable (1, 1) constant fields:
+        they pass through every step unchanged, so a constant needs 4
+        bytes of HBM instead of a full grid (1.25 GB of arguments +
+        pass-through output copies at 8192²). Arrays are kept as given.
+        Note `soillib_tpu.models.multiscale` resamples states by field
+        shape and needs full-size fields."""
         W, H = int(shape[0]), int(shape[1])
         f = lambda *c: jnp.zeros((*c, W, H), jnp.float32)
+
+        def const2(v, default):
+            if v is None:
+                return default()
+            a = jnp.asarray(v, jnp.float32)
+            return a.reshape(1, 1) if a.ndim == 0 else a
+
         bed = jnp.asarray(height, jnp.float32) if height is not None else f()
         sed = jnp.asarray(sediment, jnp.float32) if sediment is not None else f()
         white = jnp.ones((3, W, H), jnp.float32)
+        if albedo_bedrock is None:
+            alb_bed = white
+        else:
+            a = jnp.asarray(albedo_bedrock, jnp.float32)
+            alb_bed = a.reshape(3, 1, 1) if a.shape == (3,) else a
         return ErosionState(
             layers=jnp.stack([bed, sed], axis=0),
-            rainfall=jnp.asarray(rainfall, jnp.float32) if rainfall is not None else jnp.ones((W, H), jnp.float32),
-            uplift=jnp.asarray(uplift, jnp.float32) if uplift is not None else f(),
+            rainfall=const2(rainfall,
+                            lambda: jnp.ones((W, H), jnp.float32)),
+            uplift=const2(uplift, f),
             discharge=f(),
             mass=f(),
             momentum=f(2),
             debris=f(),
             debris_momentum=f(2),
-            albedo_bedrock=white,
+            albedo_bedrock=alb_bed,
             albedo_surface=white,
             albedo_fluvial=white,
             albedo_debris=white,
@@ -121,9 +143,19 @@ def erode_step(
         state.layers, state.rainfall, state.discharge, state.mass,
         state.momentum, state.albedo_surface, scale, p, key=kf, halo=halo,
     )
+    # Sequence the two transport solves: they are data-independent, and
+    # XLA's latency-hiding scheduler otherwise interleaves both cohort
+    # scans, keeping BOTH K-pass staging working sets live at once
+    # (~+5 GB of HLO temps at 8192² — the single-chip capacity margin).
+    # The barrier is an identity; on one TensorCore the solves execute
+    # serially either way, so this costs nothing.
+    dis, mas, mom, alb_f, d_layers, d_deb, d_dmom, d_alb = \
+        jax.lax.optimization_barrier(
+            (dis, mas, mom, alb_f, state.layers, state.debris,
+             state.debris_momentum, state.albedo_surface)
+        )
     deb, dmom, alb_d = transport_debris(
-        state.layers, state.debris, state.debris_momentum,
-        state.albedo_surface, scale, p, key=kd, halo=halo,
+        d_layers, d_deb, d_dmom, d_alb, scale, p, key=kd, halo=halo,
     )
 
     blend = lambda old, new: (1.0 - lr) * old + lr * new

@@ -31,7 +31,8 @@ from soillib_tpu.parallel.halo import ShardHalo
 from soillib_tpu.parallel.mesh import check_divisible, grid_spec, shard_state
 
 
-def make_sharded_erode_fn(mesh, scale, param: ErosionParams, steps: int = 1):
+def make_sharded_erode_fn(mesh, scale, param: ErosionParams, steps: int = 1,
+                          state_template: ErosionState = None):
     """Jitted fn(state, key) -> state after `steps` coupled erosion steps,
     2-D block-decomposed over `mesh`.
 
@@ -39,6 +40,10 @@ def make_sharded_erode_fn(mesh, scale, param: ErosionParams, steps: int = 1):
     shape; use `parallel.shard_state` to place an existing state. The
     transport method must be "field" (the particle estimator does not
     shard; SURVEY.md §7 "hard parts").
+
+    `state_template`: pass the state (or one with the same leaf shapes)
+    when it holds broadcastable (1, 1) constant fields (ErosionState.zeros
+    scalar args) — those leaves are replicated instead of block-sharded.
     """
     if param.transportMethod != "field":
         raise ValueError("sharded erosion requires param.transportMethod='field'")
@@ -47,12 +52,17 @@ def make_sharded_erode_fn(mesh, scale, param: ErosionParams, steps: int = 1):
     # (C, W, H) leaves replicate the channel dim.
     spec2 = P(*mesh.axis_names)
     spec3 = P(None, *mesh.axis_names)
-    state_spec = ErosionState(
-        layers=spec3, rainfall=spec2, uplift=spec2, discharge=spec2,
-        mass=spec2, momentum=spec3, debris=spec2, debris_momentum=spec3,
-        albedo_bedrock=spec3, albedo_surface=spec3, albedo_fluvial=spec3,
-        albedo_debris=spec3,
-    )
+    if state_template is not None:
+        from soillib_tpu.parallel.mesh import state_specs
+
+        state_spec = state_specs(state_template, mesh)
+    else:
+        state_spec = ErosionState(
+            layers=spec3, rainfall=spec2, uplift=spec2, discharge=spec2,
+            mass=spec2, momentum=spec3, debris=spec2, debris_momentum=spec3,
+            albedo_bedrock=spec3, albedo_surface=spec3, albedo_fluvial=spec3,
+            albedo_debris=spec3,
+        )
     scale = tuple(float(s) for s in scale)
     frozen = param.freeze()
 

@@ -51,7 +51,10 @@ def grid_spec(mesh: Mesh) -> P:
 
 def leaf_spec(arr, mesh: Mesh) -> P:
     """Spec for a field: (W, H) shards both dims; channel-first (C, W, H)
-    replicates the channel dim and shards the spatial ones."""
+    replicates the channel dim and shards the spatial ones. Broadcastable
+    (…, 1, 1) constant fields (see ErosionState.zeros) are replicated."""
+    if arr.shape[-2:] == (1, 1):
+        return P()
     if arr.ndim == 2:
         return P(*mesh.axis_names)
     return P(None, *mesh.axis_names)

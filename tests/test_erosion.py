@@ -283,3 +283,35 @@ def test_erosion_extreme_terrain_stays_finite():
               "debris_momentum", "albedo_surface"):
         arr = np.asarray(getattr(out, f))
         assert np.isfinite(arr).all(), f
+
+
+def test_compact_constant_fields_bitwise():
+    """Broadcastable (1, 1) constant fields (ErosionState.zeros scalar
+    rainfall/uplift/albedo_bedrock — the 8192² capacity configuration,
+    bench.py) produce bitwise-identical trajectories to full-grid
+    constants: the constants only ever enter elementwise arithmetic, so
+    XLA broadcasting reproduces the same values and the saved ~2.5 GB of
+    HBM at 8192² is free."""
+    import jax
+
+    W, H = 40, 40
+    hgt = np.asarray(
+        np.random.default_rng(3).random((W, H)), np.float32
+    ) * 2.0
+    p = soil.ErosionParams()
+    p.transportIterations = 8
+    full = soil.ErosionState.zeros((W, H), height=hgt)
+    comp = soil.ErosionState.zeros((W, H), height=hgt, rainfall=1.0,
+                                   uplift=0.0,
+                                   albedo_bedrock=(1.0, 1.0, 1.0))
+    assert comp.rainfall.shape == (1, 1)
+    assert comp.uplift.shape == (1, 1)
+    assert comp.albedo_bedrock.shape == (3, 1, 1)
+    k = jax.random.PRNGKey(11)
+    a = soil.erode(full, SCALE, p, steps=3, key=k)
+    b = soil.erode(comp, SCALE, p, steps=3, key=k)
+    for f in ("layers", "discharge", "mass", "momentum", "debris",
+              "debris_momentum", "albedo_surface", "albedo_fluvial",
+              "albedo_debris"):
+        x, y = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+        assert np.array_equal(x, y), f
