@@ -302,6 +302,10 @@ def main():
                     help="grid edge (default 4096 tpu / 256 cpu)")
     ap.add_argument("--iters", type=int, default=32, help="transport rounds")
     ap.add_argument("--steps", type=int, default=8, help="timed steps")
+    ap.add_argument("--albedo", choices=("on", "off"), default="on",
+                    help="albedo instrumentation (off = 8192² capacity "
+                         "mode: 3 fewer carried channels per transport "
+                         "solve, albedo state stays constant)")
     args = ap.parse_args()
 
     platform = jax.devices()[0].platform
@@ -318,10 +322,12 @@ def main():
     # pass-through output copies at 8192² — the margin it OOM'd by).
     state = soil.ErosionState.zeros((W, H), height=height, rainfall=1.0,
                                     uplift=0.0,
-                                    albedo_bedrock=(1.0, 1.0, 1.0))
+                                    albedo_bedrock=(1.0, 1.0, 1.0),
+                                    albedo_surface=(1.0, 1.0, 1.0))
     del height  # 256 MB at 8192² — every buffer counts against HBM
     param = soil.ErosionParams()
     param.transportIterations = args.iters
+    param.trackAlbedo = args.albedo == "on"
 
     step = soil.make_erode_fn(param, scale, steps=1)
     key = jax.random.PRNGKey(0)

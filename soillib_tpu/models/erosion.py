@@ -172,14 +172,15 @@ _RATE_CLIP = 1e4
 def _cohort_state(w0, speed0, carried0):
     """Pack the initial cohort state (see ops/cohort.py): weight, weighted
     mean velocity, weighted per-axis second velocity moments (newborns
-    are velocity-deterministic, so E[v^2] = v^2), carried totals."""
-    return jnp.concatenate(
-        [jnp.stack([w0, w0 * speed0[0], w0 * speed0[1],
-                    w0 * speed0[0] * speed0[0],
-                    w0 * speed0[1] * speed0[1]], axis=0),
-         carried0],
-        axis=0,
-    )
+    are velocity-deterministic, so E[v^2] = v^2), carried totals.
+
+    Returned as a lazy channel TUPLE (ops/cohort.py `as_stack` form): the
+    Pallas path then builds its padded staging buffer channel-by-channel,
+    so the unpadded (5+C, W, H) stack — 3 GB at 8192² — never
+    materializes next to its padded copy."""
+    return (w0, w0 * speed0[0], w0 * speed0[1],
+            w0 * speed0[0] * speed0[0],
+            w0 * speed0[1] * speed0[1]) + tuple(carried0)
 
 
 # ---------------------------------------------------------------------------
@@ -229,7 +230,7 @@ def _fluvial_terms(
         A * R * jnp.asarray(rainfall, jnp.float32), E_m.shape
     )
     E_v = A * (-(g * grad) + nu * vel)
-    E_a = E_m[None] * albedo_surface
+    E_a = E_m[None] * albedo_surface if p.trackAlbedo else None
 
     return dict(
         A=A, Llen=Llen, grad=grad, speed=speed, force=force,
@@ -316,7 +317,7 @@ def transport_fluvial(
     # tempt XLA into lane-padded (N*N, C) fusion layouts that OOM at 8192².
     G_w, G_m = Gcf[0], Gcf[1]
     G_vx, G_vy = Gcf[2], Gcf[3]
-    G_a = Gcf[4:7]
+    G_a = Gcf[4:7] if Gcf.shape[0] > 4 else None
 
     # Normalization (erosion.cu:143-187). Fixed v=(1,0) -> norm = scale.y.
     norm = float(scale[1])
@@ -331,10 +332,14 @@ def transport_fluvial(
         [(A * sv_x + G_vx) / norm, (A * sv_y + G_vy) / norm], axis=0
     )
 
-    has_mass = (G_m > 0.0) & (jnp.sum(G_a * G_a, axis=0) > 0.0)
-    albedo_out = jnp.where(
-        has_mass[None], G_a / jnp.maximum(G_m, _EPS)[None], albedo_surface
-    )
+    if G_a is None:
+        albedo_out = albedo_surface  # untracked: identity pass-through
+    else:
+        has_mass = (G_m > 0.0) & (jnp.sum(G_a * G_a, axis=0) > 0.0)
+        albedo_out = jnp.where(
+            has_mass[None], G_a / jnp.maximum(G_m, _EPS)[None],
+            albedo_surface,
+        )
     return discharge_out, mass_out, momentum_out, albedo_out
 
 
@@ -357,7 +362,7 @@ def make_fluvial_rules(p, Llen):
         dis = aux[0]
         AW, AM = carried[0], carried[1]
         AV = carried[2:4]
-        AB = carried[4:7]
+        AB = carried[4:7]  # empty slice when albedo is untracked
         w1 = 1.0 / (1.0 + dL * (tau + nu))
         # ds = dL / v exponents are << 1 at fluvial rates — plain exp at
         # the mean step suffices (Jensen correction immaterial); the
@@ -369,14 +374,13 @@ def make_fluvial_rules(p, Llen):
             ux, uy,
             jnp.clip(-Llen * 0.125 * fD / (_EPS + dis), -_RATE_CLIP, 0.0),
         )
-        carried_out = jnp.concatenate(
-            [
-                jnp.stack([AW * fac_w, AM * fac_m], axis=0),
-                AV * fac_v[None],
-                AB * fac_m[None],
-            ],
-            axis=0,
-        )
+        parts = [
+            jnp.stack([AW * fac_w, AM * fac_m], axis=0),
+            AV * fac_v[None],
+        ]
+        if AB.shape[0]:
+            parts.append(AB * fac_m[None])
+        carried_out = jnp.concatenate(parts, axis=0)
         return w1, carried_out
 
     return rules
@@ -399,13 +403,12 @@ def _fluvial_cohort(t, rainfall, discharge, p, iters, halo=NO_HALO):
 
     W, H = discharge.shape
     bd = _birth_density(W, H, halo=halo)
-    carried0 = bd[None] * jnp.concatenate(
-        [t["E_w"][None], t["E_m"][None], t["E_v"], t["E_a"]], axis=0
-    )
+    carried0 = [bd * t["E_w"], bd * t["E_m"], bd * t["E_v"][0],
+                bd * t["E_v"][1]]
+    if t["E_a"] is not None:
+        carried0 += [bd * t["E_a"][0], bd * t["E_a"][1], bd * t["E_a"][2]]
     st0 = _cohort_state(bd, speed, carried0)
-    aux = jnp.concatenate(
-        [accel, jnp.ones_like(discharge)[None], discharge[None]], axis=0
-    )
+    aux = (accel[0], accel[1], jnp.ones_like(discharge), discharge)
     return halo.run_cohort(st0, aux, rules, iters, Llen)
 
 
@@ -433,12 +436,13 @@ def _fluvial_field(t, discharge, p, iters, halo=NO_HALO):
     # Emissions carry the reference sampler's birth-density quirk; the
     # A*source terms of the normalize pass stay nominal (erosion.cu:163).
     bd = _birth_density(*t["E_w"].shape, halo=halo)[None]
-    E = bd * jnp.concatenate(
-        [t["E_w"][None], t["E_m"][None], t["E_v"], t["E_a"]], axis=0
-    )
-    att = jnp.stack(
-        [att_w, att_m, att_v, att_v, att_m, att_m, att_m], axis=0
-    )
+    parts = [t["E_w"][None], t["E_m"][None], t["E_v"]]
+    atts = [att_w, att_m, att_v, att_v]
+    if t["E_a"] is not None:
+        parts.append(t["E_a"])
+        atts += [att_m, att_m, att_m]
+    E = bd * jnp.concatenate(parts, axis=0)
+    att = jnp.stack(atts, axis=0)
     return halo.run_transport(E, att, vx, vy, iters)
 
 
@@ -621,13 +625,10 @@ def make_debris_rules(p, Llen, rho):
         fac_v = expected_exp_step(
             ux, uy, jnp.clip(-Llen * decay, -_RATE_CLIP, 0.0)
         )
-        carried_out = jnp.concatenate(
-            [
-                jnp.stack([M * fac_d, AVx * fac_v, AVy * fac_v], axis=0),
-                B * fac_d[None],
-            ],
-            axis=0,
-        )
+        parts = [jnp.stack([M * fac_d, AVx * fac_v, AVy * fac_v], axis=0)]
+        if B.shape[0]:
+            parts.append(B * fac_d[None])
+        carried_out = jnp.concatenate(parts, axis=0)
         return w1, carried_out
 
     return rules
@@ -681,7 +682,7 @@ def transport_debris(
     suspend = jnp.maximum(0.0, kl * excess0)
     E_d = A * suspend
     E_v = A * (-(g * grad) + nu * vel)
-    E_a = E_d[None] * albedo_surface
+    E_a = E_d[None] * albedo_surface if p.trackAlbedo else None
 
     if method in ("field", "field-static"):
         # maxage - 2 deposit opportunities (see transport_fluvial).
@@ -709,13 +710,13 @@ def transport_debris(
         # see _birth_density); per-particle carried mass M/(w*rho) is
         # invariant to it since carried totals scale identically.
         w0 = _birth_density(W, H, halo=halo)
-        carried0 = w0[None] * jnp.concatenate([E_d[None], E_v, E_a], axis=0)
+        carried0 = [w0 * E_d, w0 * E_v[0], w0 * E_v[1]]
+        if E_a is not None:
+            carried0 += [w0 * E_a[0], w0 * E_a[1], w0 * E_a[2]]
         st0 = _cohort_state(w0, speed, carried0)
-        # aux = [accel, domain mask (ones; zero-padding kills escapees),
-        #        rules aux...] — see ops/cohort.py layout.
-        aux = jnp.concatenate(
-            [accel, jnp.ones_like(excess0)[None], excess0[None]], axis=0
-        )
+        # aux = (accel, domain mask (ones; zero-padding kills escapees),
+        #        rules aux...) — see ops/cohort.py layout.
+        aux = (accel[0], accel[1], jnp.ones_like(excess0), excess0)
         Gcf = halo.run_cohort(st0, aux, rules, iters, Llen)
     elif method == "particles":
         if halo is not NO_HALO:
@@ -734,7 +735,7 @@ def transport_debris(
     # Channel-first unpack/normalize (see transport_fluvial for why).
     G_d = Gcf[0]
     G_vx, G_vy = Gcf[1], Gcf[2]
-    G_a = Gcf[3:6]
+    G_a = Gcf[3:6] if Gcf.shape[0] > 3 else None
 
     # Normalization (erosion.cu:353-393): fixed v=(1,0) -> norm = scale.y.
     norm = float(scale[1])
@@ -743,10 +744,14 @@ def transport_debris(
         [(A * (-p.gravity * grad[0]) + G_vx) / norm,
          (A * (-p.gravity * grad[1]) + G_vy) / norm], axis=0
     )
-    has_mass = (G_d > 0.0) & (jnp.sum(G_a * G_a, axis=0) > 0.0)
-    albedo_out = jnp.where(
-        has_mass[None], G_a / jnp.maximum(G_d, _EPS)[None], albedo_surface
-    )
+    if G_a is None:
+        albedo_out = albedo_surface  # untracked: identity pass-through
+    else:
+        has_mass = (G_d > 0.0) & (jnp.sum(G_a * G_a, axis=0) > 0.0)
+        albedo_out = jnp.where(
+            has_mass[None], G_a / jnp.maximum(G_d, _EPS)[None],
+            albedo_surface,
+        )
     return mass_out, momentum_out, albedo_out
 
 
@@ -944,6 +949,9 @@ def mass_transfer(
     # Surface / transport albedo mixing (erosion.cu:549-572); albedo fields
     # are channel-first so channel broadcasts use [None].
     totalHeight = mass + debrisHeight
+    if not p.trackAlbedo:
+        return delta_out, albedo_surface  # untracked: identity
+
     mixDepth = 1.0
     wMass = jnp.minimum(mass / jnp.maximum(totalHeight, _EPS), 1.0)
     colorTransport = jnp.minimum(

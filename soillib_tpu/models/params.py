@@ -76,6 +76,14 @@ class ErosionParams:
     nSamples: int = 8192       # particle count (ref: rng.elem(); old `samples`)
     transportMethod: str = "field"     # "field" | "particles"
     transportIterations: int = 0       # 0 -> use maxage
+    # Albedo instrumentation toggle: albedo never feeds back into the
+    # height/water/debris dynamics, so turning it off changes no
+    # prognostic field while dropping 3 carried channels from each
+    # transport solve and letting all four albedo state fields stay
+    # broadcastable constants — the single-chip 8192² capacity mode.
+    # Honored by the field/cohort transports and mass_transfer; the
+    # particle estimator always tracks.
+    trackAlbedo: bool = True
 
     def __setattr__(self, name, value):
         name = _ALIASES.get(name, name)

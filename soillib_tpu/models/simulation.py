@@ -79,16 +79,19 @@ class ErosionState:
 
     @staticmethod
     def zeros(shape, height=None, rainfall=None, uplift=None, sediment=None,
-              albedo_bedrock=None):
+              albedo_bedrock=None, albedo_surface=None):
         """Fresh state on a (W, H) grid; `height` initializes bedrock.
 
-        `rainfall`/`uplift` given as Python scalars (and `albedo_bedrock`
-        as a 3-color) are stored as broadcastable (1, 1) constant fields:
-        they pass through every step unchanged, so a constant needs 4
-        bytes of HBM instead of a full grid (1.25 GB of arguments +
-        pass-through output copies at 8192²). Arrays are kept as given.
-        Note `soillib_tpu.models.multiscale` resamples states by field
-        shape and needs full-size fields."""
+        `rainfall`/`uplift` given as Python scalars (and the albedos as
+        3-colors) are stored as broadcastable (1, 1)/(3, 1, 1) constant
+        fields: a constant that only enters elementwise arithmetic needs
+        4 bytes of HBM instead of a full grid (rainfall/uplift/
+        albedo_bedrock pass through every step unchanged — 1.25 GB of
+        arguments + pass-through output copies at 8192²; with
+        `param.trackAlbedo = False` the other three albedo fields stay
+        constant too). Arrays are kept as given. Note
+        `soillib_tpu.models.multiscale` resamples states by field shape
+        and needs full-size fields."""
         W, H = int(shape[0]), int(shape[1])
         f = lambda *c: jnp.zeros((*c, W, H), jnp.float32)
 
@@ -98,14 +101,17 @@ class ErosionState:
             a = jnp.asarray(v, jnp.float32)
             return a.reshape(1, 1) if a.ndim == 0 else a
 
+        def const3(v, default):
+            if v is None:
+                return default
+            a = jnp.asarray(v, jnp.float32)
+            return a.reshape(3, 1, 1) if a.shape == (3,) else a
+
         bed = jnp.asarray(height, jnp.float32) if height is not None else f()
         sed = jnp.asarray(sediment, jnp.float32) if sediment is not None else f()
         white = jnp.ones((3, W, H), jnp.float32)
-        if albedo_bedrock is None:
-            alb_bed = white
-        else:
-            a = jnp.asarray(albedo_bedrock, jnp.float32)
-            alb_bed = a.reshape(3, 1, 1) if a.shape == (3,) else a
+        alb_bed = const3(albedo_bedrock, white)
+        alb_surf = const3(albedo_surface, white)
         return ErosionState(
             layers=jnp.stack([bed, sed], axis=0),
             rainfall=const2(rainfall,
@@ -117,9 +123,9 @@ class ErosionState:
             debris=f(),
             debris_momentum=f(2),
             albedo_bedrock=alb_bed,
-            albedo_surface=white,
-            albedo_fluvial=white,
-            albedo_debris=white,
+            albedo_surface=alb_surf,
+            albedo_fluvial=alb_surf,
+            albedo_debris=alb_surf,
         )
 
 
@@ -187,6 +193,22 @@ def erode_step(
     )
 
 
+def _canonicalize(state: ErosionState, param: ErosionParams) -> ErosionState:
+    """Broadcast compact (3, 1, 1) albedo fields to full size when albedo
+    IS tracked (they evolve, so outputs are full-size; materializing them
+    up front keeps step output shapes — and fori_loop carries — stable).
+    With trackAlbedo=False they pass through untouched and stay 4 bytes."""
+    if not param.trackAlbedo:
+        return state
+    W, H = state.layers.shape[-2:]
+    kw = {}
+    for f in ("albedo_surface", "albedo_fluvial", "albedo_debris"):
+        a = getattr(state, f)
+        if a.shape[-2:] == (1, 1):
+            kw[f] = jnp.broadcast_to(a, (3, W, H))
+    return state.replace(**kw) if kw else state
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled_step(frozen_params, scale, steps, donate=False):
     param = ErosionParams()
@@ -194,6 +216,7 @@ def _compiled_step(frozen_params, scale, steps, donate=False):
         setattr(param, name, value)
 
     def fn(state, key):
+        state = _canonicalize(state, param)
         if steps == 1:
             # No fori_loop wrapper for a single step: the while-loop level
             # pins the full state carry alongside the body's temps and

@@ -236,9 +236,32 @@ def cohort_round(st, G, aux, rules, Llen, push):
     return arrivals, G + arrivals[5:]
 
 
+def as_stack(x):
+    """(S, W, H) array from a channel sequence (identity for arrays).
+
+    The lazy channel-sequence form exists so the Pallas path can build its
+    padded staging buffer channel-by-channel without ever materializing
+    the unpadded stack next to it — at 8192² the stack + its padded copy
+    are ~6 GB of coexisting HLO temps, the single-chip capacity margin."""
+    if isinstance(x, (list, tuple)):
+        return jnp.stack([jnp.asarray(c, jnp.float32) for c in x], axis=0)
+    return jnp.asarray(x)
+
+
+def _channels(x):
+    """Channel list view of a stacked array or channel sequence."""
+    if isinstance(x, (list, tuple)):
+        return [jnp.asarray(c, jnp.float32) for c in x]
+    x = jnp.asarray(x)
+    return [x[i] for i in range(x.shape[0])]
+
+
 def cohort_advance_reference(st0, aux, rules, iters, Llen):
     """jnp fallback: one padded push per round (exact, no blocking).
     Returns (advanced state, deposits)."""
+    st0 = as_stack(st0)
+    aux = as_stack(aux)
+
     def body(_, carry):
         st, G = carry
         return cohort_round(st, G, aux, rules, Llen, shift_push)
@@ -391,9 +414,10 @@ def cohort_advance(st0, aux, rules, iters, Llen, *, interpret=False):
 
     Args:
       st0: (5+C, W, H) initial cohort state (weight, momentum,
-        second velocity moments, carried totals).
+        second velocity moments, carried totals) — a stacked array or a
+        sequence of (W, H) channels (preferred: see `as_stack`).
       aux: (3+A, W, H) static per-cell fields: acceleration, domain
-        mask, rules aux.
+        mask, rules aux — stacked or a channel sequence.
       rules: physics callback (see module docstring); traced into the
         kernel, so it must be jnp-pure with static captured scalars.
       iters: transit rounds (static).
@@ -402,19 +426,28 @@ def cohort_advance(st0, aux, rules, iters, Llen, *, interpret=False):
       (advanced (5+C, W, H) state, (C, W, H) accumulated deposits),
       matching `cohort_advance_reference` to f32 roundoff.
     """
-    S, W, H = st0.shape
+    st_ch = _channels(st0)
+    aux_ch = _channels(aux)
+    S = len(st_ch)
+    W, H = st_ch[0].shape
     C = S - 5
     K = HALO_K
     gw = -(-W // TILE_X)
     gh = -(-H // TILE_Y)
     Wp, Hp = gw * TILE_X, gh * TILE_Y
 
-    def pad_full(x):
-        return jnp.pad(
-            x, ((0, 0), (K, Wp - W + K), (K, Hp - H + _YPAD_R))
-        )
+    def build_padded(chs):
+        """Zero-padded staging stack, built one channel at a time: each
+        producer fuses into its dynamic_update_slice, so the peak is the
+        stack plus ONE channel — never stack + unpadded copy (6 GB of
+        coexisting temps at 8192² the jnp.pad route holds)."""
+        out = jnp.zeros((len(chs), Wp + 2 * K, Hp + K + _YPAD_R),
+                        jnp.float32)
+        for i, c in enumerate(chs):
+            out = jax.lax.dynamic_update_slice(out, c[None], (i, K, K))
+        return out
 
-    AUXp = pad_full(aux)
+    AUXp = build_padded(aux_ch)
     # The state rides PADDED through the whole solve: the halo ring is
     # zeroed once here and never written again (the kernel writes the
     # interior only, via dynamic_update_slice on the scan carry), so no
@@ -422,7 +455,7 @@ def cohort_advance(st0, aux, rules, iters, Llen, *, interpret=False):
     # buffer aliased through the kernel, peak extra memory per pass is
     # ONE unpadded state block (at 8192² the old concat-output + re-pad
     # scheme held ~8 GB of HLO temps).
-    STp = pad_full(st0)
+    STp = build_padded(st_ch)
     G = jnp.zeros((C, Wp, Hp), jnp.float32)
 
     def one_pass(STp, G, r):

@@ -167,6 +167,8 @@ class ShardHalo(Halo):
         from soillib_tpu.ops import cohort as CO
         from soillib_tpu.ops.sweep import HALO_K as K
 
+        st0 = CO.as_stack(st0)  # blocks are small; ppermute pads need
+        aux = CO.as_stack(aux)  # the stacked form
         bw, bh = st0.shape[-2], st0.shape[-1]
         if bw < K or bh < K:
             return self._run_cohort_per_round(st0, aux, rules, iters, Llen)

@@ -315,3 +315,45 @@ def test_compact_constant_fields_bitwise():
               "albedo_debris"):
         x, y = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
         assert np.array_equal(x, y), f
+
+
+def test_track_albedo_off_prognostics_bitwise():
+    """param.trackAlbedo = False (the 8192² capacity mode) drops only the
+    albedo instrumentation: every prognostic field (height, water, mass,
+    momentum, debris) matches the tracked run — albedo never feeds back
+    into the dynamics — while all four albedo state fields stay
+    broadcastable constants. Bitwise-identical on one device; under this
+    suite's 8 virtual CPU devices the changed channel-stack shapes shift
+    XLA's fusion/vectorization, leaving ulp-scale reassociation drift
+    (measured maxabs ≤ 2e-5), hence the tight-but-nonzero tolerances."""
+    import jax
+
+    W, H = 40, 40
+    hgt = np.asarray(
+        np.random.default_rng(5).random((W, H)), np.float32
+    ) * 2.0
+    p_on = soil.ErosionParams()
+    p_on.transportIterations = 8
+    p_off = soil.ErosionParams()
+    p_off.transportIterations = 8
+    p_off.trackAlbedo = False
+    k = jax.random.PRNGKey(4)
+    full = soil.ErosionState.zeros((W, H), height=hgt)
+    comp = soil.ErosionState.zeros((W, H), height=hgt, rainfall=1.0,
+                                   uplift=0.0,
+                                   albedo_bedrock=(1.0, 1.0, 1.0),
+                                   albedo_surface=(1.0, 1.0, 1.0))
+    a = soil.erode(full, SCALE, p_on, steps=3, key=k)
+    b = soil.erode(comp, SCALE, p_off, steps=3, key=k)
+    for f in ("layers", "discharge", "mass", "momentum", "debris",
+              "debris_momentum"):
+        x, y = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+        np.testing.assert_allclose(x, y, rtol=1e-3, atol=2e-4, err_msg=f)
+    assert b.albedo_surface.shape == (3, 1, 1)
+    assert b.albedo_fluvial.shape == (3, 1, 1)
+    # tracked + compact albedo start: canonicalized to full, white ==
+    # white, so trajectories still match the full-field tracked run
+    c = soil.erode(comp, SCALE, p_on, steps=3, key=k)
+    assert np.array_equal(np.asarray(a.albedo_surface),
+                          np.asarray(c.albedo_surface))
+    assert np.array_equal(np.asarray(a.layers), np.asarray(c.layers))
