@@ -60,14 +60,19 @@ def measure_stream_bw(n_bytes=1 << 28, reps=50):
     return reps * 2 * n * 4 / dt  # bytes/s (read + write)
 
 
-_VPU_SHAPE = (256, 512)  # 512 KB VMEM block
-_VPU_ILP = 16            # independent ops per loop round (hide op latency)
+_VPU_SHAPE = (8, 1024)  # small block: per-op vreg count low, issue-bound
+_VPU_K = 4              # independent chains (ILP) carried across rounds
+_VPU_U = 16             # ops per chain per round (amortize loop carry)
 
-# Elementwise-op/s ceiling by device kind: VPU ALUs x (8, 128) lanes x
-# clock. Mosaic's measured behavior is latency-bound on synthetic probes
-# (vreg-serial scheduling), so the probe alone understates the hardware;
-# the roofline uses max(probe, spec) — the HIGHER ceiling keeps
-# vs_baseline honest.
+# Elementwise-op/s ceiling by device kind: VPU issue slots x (8, 128)
+# lanes x clock. No synthetic probe sustains this (best measured: pure
+# fma chains 0.87e12, mixed-op chains 1.01e12 on v5e — see RESULTS.md),
+# but the REAL cohort kernel demonstrably executes ~2.05e12 counted
+# fma-eq/s (multi-slot co-issue on its heterogeneous op mix), so any
+# measured-probe ceiling would sit BELOW demonstrated hardware behavior
+# and flatter vs_baseline (it read 1.63 under a probe-based ceiling).
+# The spec number is the one ceiling that is neither circular (derived
+# from the kernel under test) nor demonstrably too low.
 _VPU_SPEC_OPS = {
     "TPU v5 lite": 4 * 8 * 128 * 0.94e9,   # v5e: 3.85e12
     "TPU v5": 4 * 8 * 128 * 0.94e9,
@@ -76,22 +81,34 @@ _VPU_SPEC_OPS = {
 }
 
 
-def _vpu_loop_time(body, reps, interpret, timings=3):
-    """Seconds for `reps` rounds of `body` (vector -> vector, internally
-    `_VPU_ILP`-wide) over a VMEM-resident f32 block inside ONE Pallas
-    kernel. An XLA-level fori_loop would materialize the carry through
-    HBM each round and measure bandwidth, not the VPU.
+def _vpu_chain_time(op, reps, interpret, timings=3):
+    """Seconds for `reps` rounds of `_VPU_K` independent chains, each
+    applying `op` `_VPU_U` times per round, over a VMEM-resident f32
+    block inside ONE Pallas kernel (an XLA fori_loop would materialize
+    the carry through HBM each round and measure bandwidth, not the VPU).
 
-    Takes the MIN over `timings` repeats: the per-op cost weights are
-    RATIOS of these times, and a single noisy dispatch through the
-    shared-chip tunnel (~5 ms jitter on ~10 ms kernels) otherwise swings
-    the compute roofline — and vs_baseline — by 2x between runs."""
+    No in-loop reduction: a k-wide reduce inside the round serializes on
+    the accumulator chain and measures add LATENCY (~0.47 T/s on v5e vs
+    ~0.87 T/s for this shape). Takes the MIN over `timings` repeats: the
+    per-op cost weights are RATIOS of these times, and a single noisy
+    dispatch through the shared-chip tunnel otherwise swings the compute
+    roofline — and vs_baseline — by 2x between runs."""
     from jax.experimental import pallas as pl
 
     def kernel(x_ref, o_ref):
-        y = x_ref[...]
-        y = jax.lax.fori_loop(0, reps, lambda _, y: body(y), y)
-        o_ref[...] = y
+        ys = tuple(x_ref[...] * (1.0 + 0.001 * i) for i in range(_VPU_K))
+
+        def body(_, ys):
+            ys = list(ys)
+            for _ in range(_VPU_U):
+                ys = [op(y) for y in ys]
+            return tuple(ys)
+
+        ys = jax.lax.fori_loop(0, reps, body, ys)
+        acc = ys[0]
+        for y in ys[1:]:
+            acc = acc + y
+        o_ref[...] = acc
 
     f = jax.jit(
         lambda x: pl.pallas_call(
@@ -110,36 +127,21 @@ def _vpu_loop_time(body, reps, interpret, timings=3):
     return best
 
 
-def _ilp_body(op):
-    """k independent applications of `op` + a reduction — the probe shape
-    that actually pipelines on the VPU (a serial self-chain measures op
-    LATENCY: ~25 Gop/s vs ~475 Gop/s for this body on v5e)."""
-    def body(y):
-        terms = [op(y, i) for i in range(_VPU_ILP)]
-        acc = terms[0]
-        for t in terms[1:]:
-            acc = acc + t
-        return acc * (1.0 / _VPU_ILP)
-
-    return body
-
-
 def measure_vpu():
     """Elementwise-op/s ceiling and per-op cost weights for the roofline.
 
-    Returns (ops_per_s, {op: cost}) where ops_per_s = max(measured ILP-16
-    fma probe, device-spec peak) and cost = measured throughput ratio of
-    exp/div/sqrt vs fma (~1 on TPU: the VPU has hardware approximations)."""
+    Returns (ops_per_s, {op: cost}): ops_per_s = max(measured fma-chain
+    probe, device-spec peak) — see _VPU_SPEC_OPS for why spec — and cost
+    is the measured throughput of exp/div/sqrt relative to fma (~1-1.5
+    on TPU: hardware approximations + --xla_allow_excess_precision)."""
     interpret = jax.devices()[0].platform != "tpu"
-    # reps sized so one kernel runs ~30-100 ms on hardware: the ~5 ms
+    # reps sized so one kernel runs ~60-100 ms on hardware: the ~5 ms
     # tunnel dispatch jitter must be small against the thing measured.
-    reps = 8 if interpret else 1024
     n = _VPU_SHAPE[0] * _VPU_SHAPE[1]
-    per_round = 2 * _VPU_ILP  # k ops + (k-1) adds + 1 mul
+    reps = 4 if interpret else max(1, (1 << 36) // (n * _VPU_K * _VPU_U))
+    per_round = _VPU_K * _VPU_U
 
-    dt_fma = _vpu_loop_time(
-        _ilp_body(lambda y, i: y * (1.0 + 1e-7 * i) + 1e-9), reps, interpret
-    )
+    dt_fma = _vpu_chain_time(lambda y: y * 1.0000001 + 1e-9, reps, interpret)
     probe = per_round * n * reps / dt_fma
     kind = jax.devices()[0].device_kind
     spec = 0.0
@@ -148,19 +150,23 @@ def measure_vpu():
             spec = max(spec, v)
     ops_rate = max(probe, spec)
 
-    # Per-op cost c from the runtime ratio: the op body does k ops-under-
-    # test + k combining ops vs the fma body's 2k unit ops, so
-    # dt_op/dt_fma = (k c + k) / 2k  =>  c = 2 dt_op/dt_fma - 1.
+    # Per-op cost c: each op body iteration is 1 op-under-test + 1
+    # stabilizing unit op, timed against a 2-unit-op fma body, so
+    # dt_op / dt_fma2 = (c + 1) / 2  =>  c = 2 dt_op/dt_fma2 - 1.
+    dt_fma2 = _vpu_chain_time(
+        lambda y: (y * 1.0000001 + 1e-9) * 0.9999999 + 1e-9,
+        reps // 2 + 1, interpret)
+    half = reps // 2 + 1
+
+    def cost(op):
+        dt = _vpu_chain_time(op, half, interpret)
+        # body = op + 1 plain op; fma2 body = 2 plain ops.
+        return max(1.0, 2.0 * dt / dt_fma2 - 1.0)
+
     costs = {
-        "exp": max(1.0, _vpu_loop_time(
-            _ilp_body(lambda y, i: jnp.exp(y * (1 + 1e-7 * i)) * 1e-9),
-            reps, interpret) / dt_fma * 2.0 - 1.0),
-        "div": max(1.0, _vpu_loop_time(
-            _ilp_body(lambda y, i: (1.0 + 1e-7 * i) / (y + 1.0)),
-            reps, interpret) / dt_fma * 2.0 - 1.0),
-        "sqrt": max(1.0, _vpu_loop_time(
-            _ilp_body(lambda y, i: jnp.sqrt(y + 1.0 + 1e-7 * i)),
-            reps, interpret) / dt_fma * 2.0 - 1.0),
+        "exp": cost(lambda y: jnp.exp(-y) + 0.1),
+        "div": cost(lambda y: 1.5 / (y + 1.0)),
+        "sqrt": cost(lambda y: jnp.sqrt(y + 0.25)),
     }
     return ops_rate, costs
 

@@ -352,14 +352,13 @@ def make_fluvial_rules(p, Llen):
     roofline can trace the REAL closure — see bench.py cohort_round_ops).
     Captures only static scalars; per-cell inputs ride in `aux`."""
     kd = p.depositionRateFluvial * 1.33   # erosion.cu:69
-    fD = p.frictionFactor / 8.0           # erosion.cu:70
     nu = p.viscosityWater
     tau = p.bedShearWater
     evap = p.evapRate
 
     def rules(dL, inv, w, carried, unit2, aux):
         ux, uy = unit2
-        dis = aux[0]
+        rate_v = aux[0]  # static per-cell momentum-decay rate, hoisted
         AW, AM = carried[0], carried[1]
         AV = carried[2:4]
         AB = carried[4:7]  # empty slice when albedo is untracked
@@ -367,13 +366,13 @@ def make_fluvial_rules(p, Llen):
         # ds = dL / v exponents are << 1 at fluvial rates — plain exp at
         # the mean step suffices (Jensen correction immaterial); the
         # momentum decay 0.125*fD/waterHeight can be O(1)+, so it takes
-        # the exact position-averaged factor.
+        # the exact position-averaged factor. Its per-cell rate depends
+        # only on the static discharge field, so the caller precomputes
+        # it once per solve (aux[0]) instead of per round (the kernel is
+        # VPU-issue-bound: every op removed is ~proportional time).
         fac_w = jnp.exp(-jnp.minimum(dL * inv * evap, 88.0))
         fac_m = jnp.exp(-jnp.minimum(dL * inv * kd, 88.0))
-        fac_v = expected_exp_step(
-            ux, uy,
-            jnp.clip(-Llen * 0.125 * fD / (_EPS + dis), -_RATE_CLIP, 0.0),
-        )
+        fac_v = expected_exp_step(ux, uy, rate_v)
         parts = [
             jnp.stack([AW * fac_w, AM * fac_m], axis=0),
             AV * fac_v[None],
@@ -408,7 +407,14 @@ def _fluvial_cohort(t, rainfall, discharge, p, iters, halo=NO_HALO):
     if t["E_a"] is not None:
         carried0 += [bd * t["E_a"][0], bd * t["E_a"][1], bd * t["E_a"][2]]
     st0 = _cohort_state(bd, speed, carried0)
-    aux = (accel[0], accel[1], jnp.ones_like(discharge), discharge)
+    # Static per-cell momentum-decay rate (the expression the rules used
+    # to evaluate per round; bitwise-identical hoist — see make_fluvial_
+    # rules).
+    fD = p.frictionFactor / 8.0
+    rate_v = jnp.clip(
+        -Llen * 0.125 * fD / (_EPS + discharge), -_RATE_CLIP, 0.0
+    )
+    aux = (accel[0], accel[1], jnp.ones_like(discharge), rate_v)
     return halo.run_cohort(st0, aux, rules, iters, Llen)
 
 

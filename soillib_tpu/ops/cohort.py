@@ -54,13 +54,14 @@ _EPS = 1e-12
 def _roll_push(payloads):
     """Roll-based directional push (kernel interior form; wrap-around is
     absorbed by the stale halo ring / zero boundary padding). `payloads`
-    = (toward +x, -x, +y, -y) full channel stacks."""
+    = (toward +x, -x, +y, -y); called per channel (2-D) by cohort_round —
+    negative axes keep it shape-generic."""
     pxp, pxn, pyp, pyn = payloads
     return (
-        jnp.roll(pxp, 1, axis=1)
-        + jnp.roll(pxn, -1, axis=1)
-        + jnp.roll(pyp, 1, axis=2)
-        + jnp.roll(pyn, -1, axis=2)
+        jnp.roll(pxp, 1, axis=-2)
+        + jnp.roll(pxn, -1, axis=-2)
+        + jnp.roll(pyp, 1, axis=-1)
+        + jnp.roll(pyn, -1, axis=-1)
     )
 
 
@@ -216,23 +217,27 @@ def cohort_round(st, G, aux, rules, Llen, push):
         alive[None], jnp.clip(carried_out, -1e30, 1e30), 0.0
     )
 
-    def stream(ws, vx_s, vy_s, m2x_s, m2y_s):
-        wss = wa * ws
-        return jnp.concatenate(
-            [
-                jnp.stack([wss, wss * vx_s, wss * vy_s,
-                           wss * m2x_s, wss * m2y_s], axis=0),
-                ws[None] * carried_out,
-            ],
-            axis=0,
-        )
+    # CHANNEL-WISE push assembly: each output channel's four directional
+    # payloads are built, shifted and summed independently — never the
+    # four (S, W, H) stream stacks at once. Same per-element products and
+    # add order as the stacked form (bitwise identical), but the peak
+    # VMEM live set in the Pallas kernel drops from ~6 full-stack
+    # temporaries to ~2 stacks + per-channel scalars, which is what lets
+    # the window grow to lower halo-overhead geometries.
+    wxp_a, wxn_a = wa * wxp, wa * wxn
+    wyp_a, wyn_a = wa * wyp, wa * wyn
 
-    arrivals = push((
-        stream(wxp, vox_p, voy, m2xo_p, m2yo),
-        stream(wxn, vox_n, voy, m2xo_n, m2yo),
-        stream(wyp, vox, voy_p, m2xo, m2yo_p),
-        stream(wyn, vox, voy_n, m2xo, m2yo_n),
-    ))
+    out = [
+        push((wxp_a, wxn_a, wyp_a, wyn_a)),
+        push((wxp_a * vox_p, wxn_a * vox_n, wyp_a * vox, wyn_a * vox)),
+        push((wxp_a * voy, wxn_a * voy, wyp_a * voy_p, wyn_a * voy_n)),
+        push((wxp_a * m2xo_p, wxn_a * m2xo_n, wyp_a * m2xo, wyn_a * m2xo)),
+        push((wxp_a * m2yo, wxn_a * m2yo, wyp_a * m2yo_p, wyn_a * m2yo_n)),
+    ]
+    deposits = [
+        push((wxp * c, wxn * c, wyp * c, wyn * c)) for c in carried_out
+    ]
+    arrivals = jnp.stack(out + deposits, axis=0)
     return arrivals, G + arrivals[5:]
 
 
@@ -308,18 +313,18 @@ def _cohort_kernel(rounds, S, C, gh, n_tiles, Llen, rules,
             ),
         ]
 
-    def out_dmas(s, ti):
+    def out_dmas(ti):
         ii = ti // gh
         jj = jax.lax.rem(ti, gh)
         tile = (pl.ds(ii * TILE_X, TILE_X), pl.ds(jj * TILE_Y, TILE_Y))
         return [
             pltpu.make_async_copy(
-                stout_v.at[s], st_out_hbm.at[:, tile[0], tile[1]],
-                out_sems.at[s, 0],
+                stout_v, st_out_hbm.at[:, tile[0], tile[1]],
+                out_sems.at[0],
             ),
             pltpu.make_async_copy(
-                gnew_v.at[s], g_out_hbm.at[:, tile[0], tile[1]],
-                out_sems.at[s, 1],
+                gnew_v, g_out_hbm.at[:, tile[0], tile[1]],
+                out_sems.at[1],
             ),
         ]
 
@@ -346,27 +351,25 @@ def _cohort_kernel(rounds, S, C, gh, n_tiles, Llen, rules,
     G0 = jnp.zeros((C,) + st.shape[1:], jnp.float32)
     st, G = jax.lax.fori_loop(0, rounds, body, (st, G0))
 
-    @pl.when(t >= 2)
+    # SINGLE-buffered output scratch: tile t-1's write-back had a full
+    # tile-compute (~ms) to drain (~tens of µs), so waiting on it here
+    # before overwriting the buffer never stalls in practice, and the
+    # saved VMEM goes to larger (lower halo-overhead) windows.
+    @pl.when(t >= 1)
     def _():
-        for c in out_dmas(slot, t - 2):
+        for c in out_dmas(t - 1):
             c.wait()
 
-    stout_v[slot] = st[:, HALO_K:HALO_K + TILE_X, HALO_K:HALO_K + TILE_Y]
-    gnew_v[slot] = gold_v[slot] + G[:, HALO_K:HALO_K + TILE_X,
-                                    HALO_K:HALO_K + TILE_Y]
-    for c in out_dmas(slot, t):
+    stout_v[...] = st[:, HALO_K:HALO_K + TILE_X, HALO_K:HALO_K + TILE_Y]
+    gnew_v[...] = gold_v[slot] + G[:, HALO_K:HALO_K + TILE_X,
+                                   HALO_K:HALO_K + TILE_Y]
+    for c in out_dmas(t):
         c.start()
 
     @pl.when(t + 1 >= n_tiles)
     def _():
-        for c in out_dmas(slot, t):
+        for c in out_dmas(t):
             c.wait()
-
-    if n_tiles >= 2:
-        @pl.when(t + 1 == n_tiles)
-        def _():
-            for c in out_dmas(1 - slot, t - 1):
-                c.wait()
 
 
 def _cohort_call(STp, AUXp, G, rules, rounds, Llen, grid_wh, interpret):
@@ -397,13 +400,13 @@ def _cohort_call(STp, AUXp, G, rules, rounds, Llen, grid_wh, interpret):
             pltpu.VMEM((2, S, SX, SY), jnp.float32),       # state windows
             pltpu.VMEM((2, A, SX, SY), jnp.float32),       # aux windows
             pltpu.VMEM((2, C, TILE_X, TILE_Y), jnp.float32),  # old G tiles
-            pltpu.VMEM((2, S, TILE_X, TILE_Y), jnp.float32),  # state out
-            pltpu.VMEM((2, C, TILE_X, TILE_Y), jnp.float32),  # new G tiles
+            pltpu.VMEM((S, TILE_X, TILE_Y), jnp.float32),  # state out
+            pltpu.VMEM((C, TILE_X, TILE_Y), jnp.float32),  # new G tile
             pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )(STp, AUXp, G)
