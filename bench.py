@@ -257,11 +257,14 @@ def _count_ops(jaxpr, costs, n_cells):
     return total
 
 
-def cohort_round_ops(costs):
+def cohort_round_ops(costs, albedo_on=True):
     """Per-cell fma-equivalent op count of ONE fluvial + ONE debris cohort
     round — the body the Pallas kernel iterates, counted from the traced
     jaxpr of the REAL model closures (models/erosion.py
-    make_fluvial_rules / make_debris_rules + ops/cohort.py cohort_round)."""
+    make_fluvial_rules / make_debris_rules + ops/cohort.py cohort_round).
+    `albedo_on` must match the benchmarked config: with trackAlbedo off
+    the solves carry 3 fewer channels each, and a ceiling modeled on the
+    heavier workload would flatter vs_baseline."""
     from soillib_tpu.models.erosion import make_debris_rules, \
         make_fluvial_rules
     from soillib_tpu.models.params import ErosionParams
@@ -270,11 +273,12 @@ def cohort_round_ops(costs):
     W, H = 8, 128
     n_cells = W * H
     p = ErosionParams()
+    p.trackAlbedo = albedo_on
     Llen = 0.11
     total = {}
     for phase, (C, A, rules) in {
-        "fluvial": (7, 1, make_fluvial_rules(p, Llen)),
-        "debris": (6, 1, make_debris_rules(p, Llen, 1.0)),
+        "fluvial": (7 if albedo_on else 4, 1, make_fluvial_rules(p, Llen)),
+        "debris": (6 if albedo_on else 3, 1, make_debris_rules(p, Llen, 1.0)),
     }.items():
         S = 5 + C
         st = jnp.ones((S, W, H), jnp.float32)
@@ -289,7 +293,7 @@ def cohort_round_ops(costs):
     return total
 
 
-def step_bytes_per_cell(iters: int) -> float:
+def step_bytes_per_cell(iters: int, albedo_on=True) -> float:
     """Minimum HBM traffic per cell per coupled step with the temporally-
     blocked cohort passes (ops/cohort.py, K=16 rounds per pass): each pass
     reads the (5+C)-channel state window, the (3+A)-channel aux window and
@@ -309,7 +313,9 @@ def step_bytes_per_cell(iters: int) -> float:
         return passes * per_pass
 
     rest = 40 * 4
-    return cohort(7, 1) + cohort(6, 1) + rest
+    if albedo_on:
+        return cohort(7, 1) + cohort(6, 1) + rest
+    return cohort(4, 1) + cohort(3, 1) + rest
 
 
 def main():
@@ -381,10 +387,11 @@ def main():
     # Shared-chip tunnel runs are noisy; the CEILING wants the best
     # achievable number, so take the max over repeats.
     bw = max(measure_stream_bw() for _ in range(3))
-    hbm_sol = bw / step_bytes_per_cell(args.iters)
+    albedo_on = args.albedo == "on"
+    hbm_sol = bw / step_bytes_per_cell(args.iters, albedo_on)
 
     vpu_ops, costs = measure_vpu()
-    round_ops = cohort_round_ops(costs)
+    round_ops = cohort_round_ops(costs, albedo_on)
     ops_per_cell_step = (round_ops["fluvial"] + round_ops["debris"]) \
         * args.iters
     # Both sides are weighted elementwise ops (fma-equivalents).
@@ -393,7 +400,7 @@ def main():
     sol = min(hbm_sol, compute_sol)
     print(
         f"[roofline] stream bw {bw/1e9:.0f} GB/s, "
-        f"bytes/cell-step {step_bytes_per_cell(args.iters):.0f} "
+        f"bytes/cell-step {step_bytes_per_cell(args.iters, albedo_on):.0f} "
         f"-> HBM SoL {hbm_sol/1e6:.1f} M/s | "
         f"VPU {vpu_ops/1e12:.2f} Top/s "
         f"(exp {costs['exp']:.1f}, div {costs['div']:.1f}, "

@@ -277,7 +277,6 @@ def transport_fluvial(
     t = _fluvial_terms(
         layers, rainfall, discharge, momentum, albedo_surface, scale, p, halo
     )
-    W, H = discharge.shape
 
     if method in ("field", "field-static"):
         # Default rounds = maxage - 2: the MC trajectory loop runs

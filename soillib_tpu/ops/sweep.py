@@ -56,7 +56,12 @@ SX = int(os.environ.get("SOIL_SWEEP_SX", 256))     # row window (8-mult)
 SY = int(os.environ.get("SOIL_SWEEP_SY", 640))     # col window (128-mult)
 TILE_X = SX - 2 * HALO_K          # output tile rows
 _YPAD_R = SY - TILE_Y - HALO_K    # right zero-pad beyond the last tile
+# SX/SY are the Mosaic DMA slice SIZES and must themselves be (8, 128)-
+# aligned (offsets are aligned via TILE_X % 8 / TILE_Y % 128) — an
+# unaligned override fails deep in Mosaic with an opaque error otherwise.
 assert TILE_Y + 2 * HALO_K <= SY and TILE_X % 8 == 0 and TILE_Y % 128 == 0
+assert SX % 8 == 0 and SY % 128 == 0, "SOIL_SWEEP_SX/SY must be 8/128-mult"
+assert TILE_X > 0, "SOIL_SWEEP_SX too small for 2*K halo"
 
 # VMEM scratch grows linearly with channel count (three double-buffered
 # (C, SX, SY) windows ≈ 3 MB/channel plus fori_loop temporaries of the same

@@ -171,9 +171,11 @@ def test_erode_step_runs_and_conserves_sanity(layers):
 
 
 def _parity_setup(terrain_name, warm):
+    import os
     import sys
 
-    sys.path.insert(0, "benchmarks")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "benchmarks"))
     import parity
 
     p = soil.param_t()
@@ -242,9 +244,11 @@ def test_parity_coupled_trajectory():
     """Multi-step coupled parity: 10 field-stepped vs particle-stepped
     steps on the ramp; the field trajectory must track the MC reference
     band on every prognostic field."""
+    import os
     import sys
 
-    sys.path.insert(0, "benchmarks")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "benchmarks"))
     import parity
 
     p = soil.param_t()
