@@ -46,7 +46,7 @@ from soillib_tpu.ops.sweep import (
     TILE_Y,
     _YPAD_R,
 )
-from soillib_tpu.ops.transport import stepsize_expected
+from soillib_tpu.ops.transport import stepsize_expected, stepsize_var
 
 _EPS = 1e-12
 
@@ -197,20 +197,28 @@ def cohort_round(st, G, aux, rules, Llen, push):
     w1, carried_out = rules(dL, inv, safe_w, carried, (ux, uy), aux[3:])
 
     dax, day = dL * accel[0], dL * accel[1]
+    # The crossing distance is random in the particle reference (uniform
+    # birth position), so each transit also injects velocity variance
+    # a² Llen² Var[step] per axis — without it the ensemble is too
+    # ballistic and discharge over-concentrates on rough terrain (see
+    # stepsize_var).
+    dvar = (Llen * Llen) * stepsize_var(ux, uy)
+    vax, vay = dvar * (accel[0] * accel[0]), dvar * (accel[1] * accel[1])
 
-    def upd_m2(m2c, c, a_):
-        """E[v'^2] = w1^2 (m2 + 2 dL a mu + (dL a)^2)."""
-        return w1 * w1 * (m2c + 2.0 * a_ * c + a_ * a_)
+    def upd_m2(m2c, c, a_, av_):
+        """E[v'^2] = w1^2 (m2 + 2 E[dL] a mu + a²E[dL²]): the last term
+        split as (E[dL]a)² + a²Var[dL] (av_)."""
+        return w1 * w1 * (m2c + 2.0 * a_ * c + a_ * a_ + av_)
 
     vox = w1 * (vbx + dax)
     voy = w1 * (vby + day)
-    m2xo = upd_m2(m2x, vbx, dax)
-    m2yo = upd_m2(m2y, vby, day)
+    m2xo = upd_m2(m2x, vbx, dax, vax)
+    m2yo = upd_m2(m2y, vby, day, vay)
     # Stream-conditioned updates along the push axis.
     vox_p, vox_n = w1 * (cxp + dax), w1 * (cxn + dax)
     voy_p, voy_n = w1 * (cyp + day), w1 * (cyn + day)
-    m2xo_p, m2xo_n = upd_m2(m2xp, cxp, dax), upd_m2(m2xn, cxn, dax)
-    m2yo_p, m2yo_n = upd_m2(m2yp, cyp, day), upd_m2(m2yn, cyn, day)
+    m2xo_p, m2xo_n = upd_m2(m2xp, cxp, dax, vax), upd_m2(m2xn, cxn, dax, vax)
+    m2yo_p, m2yo_n = upd_m2(m2yp, cyp, day, vay), upd_m2(m2yn, cyn, day, vay)
 
     wa = jnp.where(alive, w, 0.0)
     carried_out = jnp.where(

@@ -104,6 +104,39 @@ def stepsize_expected(vx, vy):
     return 0.5 * (axis(jnp.abs(vx)) + axis(jnp.abs(vy)))
 
 
+def stepsize_var(vx, vy):
+    """Var_u[`stepsize`] over a uniform within-cell position.
+
+    The crossing distance is RANDOM in the particle reference (uniform
+    birth position, path.cu:27-49): T = min(U/a, sqrt2) per axis with
+    U ~ Uniform(0,1), step = (Tx + Ty)/2, Tx ⊥ Ty. A cohort closure
+    that advances velocity with only the EXPECTED step drops the
+    variance the random step injects into the velocity ensemble each
+    transit (Var[v'] += w1² a² Var[dL]) and over-concentrates discharge
+    on rough terrain (field/MC std ratio 1.54 before this term —
+    benchmarks/parity.py). Closed form per axis with u* = sqrt2·a:
+      E[T²] = min(1,u*)³/(3a²) + max(0, 1−u*)·2,
+      Var[T] = E[T²] − E[T]²,  Var[step] = (Var[Tx] + Var[Ty])/4.
+    Division masked for reverse-mode safety (a → 0 gives Var → 0)."""
+    def axis_var(a):
+        # Small-a branch at 1e-6, NOT merely nonzero-a: below ~1e-19 the
+        # m³/(3a²) quotient is subnormal/subnormal, which flushes to 0/0
+        # = NaN under TPU (and FTZ CPU) arithmetic. The exact small-a
+        # limit is Var[T] → (2√2/3)·a − a² (linear term kept; ≤1e-12
+        # absolute seam at the branch point).
+        small = a < 1e-6
+        a_s = jnp.where(small, 1.0, a)
+        m = jnp.minimum(1.0, _SQRT2 * a)
+        et2 = (m * m * m) / (3.0 * a_s * a_s) \
+            + jnp.maximum(0.0, 1.0 - _SQRT2 * a) * 2.0
+        big = a >= 1.0 / _SQRT2
+        et = jnp.where(big, 0.5 / jnp.where(big, a, 1.0), _SQRT2 - a)
+        var = jnp.maximum(et2 - et * et, 0.0)
+        return jnp.where(small, 0.9428090415820634 * a, var)
+
+    return 0.25 * (axis_var(jnp.abs(vx)) + axis_var(jnp.abs(vy)))
+
+
 def expected_exp_step(vx, vy, coef):
     """E_u[exp(coef * `stepsize`)] over a uniform within-cell position —
     the exact expected per-transit attenuation factor of a uniformly-born

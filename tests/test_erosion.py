@@ -3,6 +3,9 @@
 import numpy as np
 import pytest
 
+import jax
+import jax.numpy as jnp
+
 import soillib_tpu as soil
 from soillib_tpu.models.erosion import godunov_gradient, mass_creep, mass_transfer
 from tests import oracles
@@ -121,6 +124,44 @@ def test_mass_transfer_erosion_eats_sediment_first():
     assert (inner[1] >= -thin - 1e-7).all()
     # and the remaining erosion goes to bedrock
     assert (inner[0] < 0.0).any()
+
+
+def test_stepsize_var_matches_monte_carlo():
+    """Closed-form Var[step] (the cohort's per-transit velocity-variance
+    injection, ops/transport.py stepsize_var) vs direct MC of
+    T = min(U/a, sqrt2) per axis, step = (Tx+Ty)/2."""
+    from soillib_tpu.ops.transport import stepsize_var
+
+    rng = np.random.default_rng(0)
+    U1, U2 = rng.random(400000), rng.random(400000)
+    for vx, vy in [(1.0, 0.0), (0.7071, 0.7071), (0.3, 0.954),
+                   (0.05, 0.999), (0.9, 0.1)]:
+        ax_, ay_ = abs(vx), abs(vy)
+        Tx = np.minimum(U1 / max(ax_, 1e-20), np.sqrt(2))
+        Ty = np.minimum(U2 / max(ay_, 1e-20), np.sqrt(2))
+        want = (0.5 * (Tx + Ty)).var()
+        got = float(stepsize_var(jnp.float32(vx), jnp.float32(vy)))
+        np.testing.assert_allclose(got, want, rtol=0.02), (vx, vy)
+
+
+def test_stepsize_var_degenerate_directions_finite():
+    """The subnormal-direction regime (|u| ~ 1e-19) once produced 0/0 =
+    NaN under flush-to-zero arithmetic (collapsed debris cohorts hit it
+    in coupled runs); the small-a branch must return the finite linear
+    limit (2*sqrt(2)/3) * a."""
+    from soillib_tpu.ops.transport import stepsize_var
+
+    a = jnp.float32(1e-19)
+    v = np.asarray(stepsize_var(a, jnp.float32(0.0)))
+    assert np.isfinite(v)
+    np.testing.assert_allclose(v, 0.25 * 0.9428090415820634 * 1e-19,
+                               rtol=1e-4)
+    assert np.isfinite(np.asarray(stepsize_var(jnp.zeros((4, 4)),
+                                               jnp.zeros((4, 4))))).all()
+    # reverse mode at the branch point stays finite (double-where)
+    g = jax.grad(lambda x: jnp.sum(stepsize_var(x, x)))(
+        jnp.full((3,), 1e-19, jnp.float32))
+    assert np.isfinite(np.asarray(g)).all()
 
 
 def test_transport_fluvial_shapes_and_rain(layers):
