@@ -114,25 +114,20 @@ def stepsize_var(vx, vy):
     variance the random step injects into the velocity ensemble each
     transit (Var[v'] += w1² a² Var[dL]) and over-concentrates discharge
     on rough terrain (field/MC std ratio 1.54 before this term —
-    benchmarks/parity.py). Closed form per axis with u* = sqrt2·a:
-      E[T²] = min(1,u*)³/(3a²) + max(0, 1−u*)·2,
-      Var[T] = E[T²] − E[T]²,  Var[step] = (Var[Tx] + Var[Ty])/4.
-    Division masked for reverse-mode safety (a → 0 gives Var → 0)."""
+    benchmarks/parity.py). E[T²] − E[T]² simplifies EXACTLY (both
+    branches) to the cancellation-free
+      Var[T] = (2√2/3)·a − a²   for a < 1/√2,
+      Var[T] = 1/(12 a²)        for a ≥ 1/√2,
+      Var[step] = (Var[Tx] + Var[Ty])/4,
+    needing no subnormal guard (the subtractive form hit 0/0 = NaN at
+    a ~ 1e-19 under flush-to-zero and lost ~3% to f32 cancellation near
+    its small-a seam). Division masked for reverse-mode safety."""
     def axis_var(a):
-        # Small-a branch at 1e-6, NOT merely nonzero-a: below ~1e-19 the
-        # m³/(3a²) quotient is subnormal/subnormal, which flushes to 0/0
-        # = NaN under TPU (and FTZ CPU) arithmetic. The exact small-a
-        # limit is Var[T] → (2√2/3)·a − a² (linear term kept; ≤1e-12
-        # absolute seam at the branch point).
-        small = a < 1e-6
-        a_s = jnp.where(small, 1.0, a)
-        m = jnp.minimum(1.0, _SQRT2 * a)
-        et2 = (m * m * m) / (3.0 * a_s * a_s) \
-            + jnp.maximum(0.0, 1.0 - _SQRT2 * a) * 2.0
         big = a >= 1.0 / _SQRT2
-        et = jnp.where(big, 0.5 / jnp.where(big, a, 1.0), _SQRT2 - a)
-        var = jnp.maximum(et2 - et * et, 0.0)
-        return jnp.where(small, 0.9428090415820634 * a, var)
+        a_s = jnp.where(big, a, 1.0)
+        return jnp.where(
+            big, 1.0 / (12.0 * a_s * a_s), 0.9428090415820634 * a - a * a
+        )
 
     return 0.25 * (axis_var(jnp.abs(vx)) + axis_var(jnp.abs(vy)))
 

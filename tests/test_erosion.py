@@ -141,7 +141,8 @@ def test_stepsize_var_matches_monte_carlo():
         Ty = np.minimum(U2 / max(ay_, 1e-20), np.sqrt(2))
         want = (0.5 * (Tx + Ty)).var()
         got = float(stepsize_var(jnp.float32(vx), jnp.float32(vy)))
-        np.testing.assert_allclose(got, want, rtol=0.02), (vx, vy)
+        np.testing.assert_allclose(got, want, rtol=0.02,
+                                   err_msg=str((vx, vy)))
 
 
 def test_stepsize_var_degenerate_directions_finite():
