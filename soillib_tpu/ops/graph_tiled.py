@@ -79,6 +79,34 @@ def _boundary_indices(W, H):
     return np.flatnonzero(mask.reshape(-1)).astype(np.int32)
 
 
+def _boundary_rank(W, H, flat, fallback):
+    """Compact position of global flat index `flat` within
+    `_boundary_indices(W, H)` — closed form (the boundary pattern is
+    periodic), replacing sort + searchsorted: the argsort/searchsorted
+    rank was 135 ms of a 716 ms 4096² accumulation. `flat` < 0 (or not a
+    boundary cell's index — never queried) maps to `fallback`."""
+    T = TILE
+    f = jnp.maximum(flat, 0)
+    x = f // H
+    y = f - x * H
+
+    def nb(z):  # boundary positions strictly before z along one axis
+        return (z + T - 1) // T + z // T
+
+    # cols per partial row over the full [0, H) range, incl. the H-1 edge
+    # column when it is not already on the periodic pattern
+    col_total = (H + T - 1) // T + H // T \
+        + (0 if (H - 1) % T in (0, T - 1) else 1)
+    # the H-1 edge column sits before y only when y == H-1... never for a
+    # queried cell's own column range (c == H-1 < y is impossible), so
+    # nb(y) needs no edge term; same for nb(x) and the W-1 row.
+    full_rows = nb(x)
+    full = (x % T == 0) | (x % T == T - 1) | (x == W - 1)
+    rank = full_rows * H + (x - full_rows) * col_total \
+        + jnp.where(full, y, nb(y))
+    return jnp.where(flat >= 0, rank, fallback)
+
+
 # ---------------------------------------------------------------------------
 # VMEM-resident tile solves (Pallas). Phases 1/2/4 are per-tile fixed
 # points (every cross-tile edge is cut), so each tile's solve is fully
@@ -249,21 +277,28 @@ def accumulate_tiled(direction_slots, value, weight=None, edge: int = D8,
         X, D = fixed_point(trace, (X0, D0), max_iters)
 
     # ---- Phase 3: coarse boundary system (compact, pointer-doubled) ------
-    from soillib_tpu.ops.graph import compact_index, operator_doubling
+    from soillib_tpu.ops.graph import operator_doubling
 
     bidx = jnp.asarray(_boundary_indices(W, H))            # (K,) static
     K = bidx.shape[0]
 
-    out_flux = jnp.where(cross, w * (v + G_loc), 0.0)      # flux per cross-edge
-    I0_grid = jnp.zeros(W * H, jnp.float32).at[
-        jnp.where(cross, recv, 0).reshape(-1)
-    ].add(jnp.where(cross, out_flux, 0.0).reshape(-1))
+    # Everything phase 3 needs lives on boundary cells: gather once at
+    # bidx and assemble the entry fluxes with a K-sized compact scatter
+    # (cross-edge receivers are boundary cells by construction). The
+    # previous grid-sized scatter-then-gather was 228 ms of a 716 ms
+    # 4096² accumulation for the same result.
+    cross_b = cross.reshape(-1)[bidx]
+    recv_b = recv.reshape(-1)[bidx]
+    flux_b = (w * (v + G_loc)).reshape(-1)[bidx]
+    self_idx = jnp.arange(K, dtype=jnp.int32)
+    recv_rank = _boundary_rank(W, H, jnp.where(cross_b, recv_b, -1), 0)
+    I0 = jnp.zeros(K, jnp.float32).at[recv_rank].add(
+        jnp.where(cross_b, flux_b, 0.0)
+    )
 
-    I0 = I0_grid[bidx]                                     # entry fluxes
     Xg = X.reshape(-1)[bidx]                               # exit target (global)
     Dc = D.reshape(-1)[bidx]
-    self_idx = jnp.arange(K, dtype=jnp.int32)
-    P = compact_index(bidx, Xg, self_idx)                  # no grid-size lut
+    P = _boundary_rank(W, H, Xg, self_idx)                 # closed-form rank
     Wc = jnp.where(Xg >= 0, Dc, 0.0)
 
     # F = total flux entering each boundary cell from other tiles:

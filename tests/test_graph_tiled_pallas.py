@@ -56,3 +56,25 @@ def test_pallas_tile_solver_decay_matches_doubling():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("shape", [(2 * TILE, TILE + 56), (TILE + 1, 3 * TILE),
+                                   (300, 200)])
+def test_boundary_rank_closed_form_matches_sort(shape):
+    """_boundary_rank (arithmetic) == compact_index (sort + searchsorted)
+    on every boundary cell and on -1 fallbacks."""
+    from soillib_tpu.ops.graph import compact_index
+    from soillib_tpu.ops.graph_tiled import _boundary_indices, _boundary_rank
+
+    W, H = shape
+    bidx = jnp.asarray(_boundary_indices(W, H))
+    K = bidx.shape[0]
+    rng = np.random.default_rng(3)
+    # queries: all boundary cells (shuffled) + some -1s
+    q = np.asarray(bidx)[rng.permutation(K)]
+    q[:: 7] = -1
+    q = jnp.asarray(q)
+    fb = jnp.arange(K, dtype=jnp.int32)[: q.shape[0]]
+    want = compact_index(bidx, q, fb)
+    got = _boundary_rank(W, H, q, fb)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
