@@ -219,28 +219,30 @@ def operator_doubling(F, P, W, rounds):
 
         F += scatter_add(P, W * F);  W *= W[P];  P = P[P].
 
-    Exits as soon as W is identically zero: C^(2^r) = 0 from then on and
-    every further round is an exact no-op. The worst-case bound is
-    log2(#nodes), but real flow graphs are vastly shallower (a 4096²
+    Rounds where W is identically zero short-circuit: C^(2^r) = 0 from
+    then on and every further round is an exact no-op, so the body is a
+    lax.cond between the real round and identity. The worst-case bound
+    is log2(#nodes), but real flow graphs are vastly shallower (a 4096²
     noise-DEM boundary system is nilpotent after 3 squarings vs the
-    19-round bound — the early exit is a 4-5× on the solve). Each round
-    is gather/scatter-bound on TPU, so the any() reduce is cheap against
-    a saved round.
+    19-round bound — the short-circuit is a 4-5× on the solve). A
+    fori_loop of conds, NOT a while_loop: the loop must stay
+    reverse-differentiable (accumulate/accumulate_decay advertise
+    jax.grad for calibration workflows), and each round is
+    gather/scatter-bound so the skipped branch's any() reduce is cheap.
 
     Shared by the pointer-doubling accumulator and the coarse boundary
     solves of the tiled/distributed schemes."""
-    def cond(c):
-        r, _, _, W_ = c
-        return (r < rounds) & jnp.any(W_ != 0.0)
-
-    def body(c):
-        r, F, P_, W_ = c
+    def round_(c):
+        F, P_, W_ = c
         F = F + jnp.zeros_like(F).at[P_].add(W_ * F)
         W_ = W_ * W_[P_]
         P_ = P_[P_]
-        return r + 1, F, P_, W_
+        return F, P_, W_
 
-    _, F, _, _ = jax.lax.while_loop(cond, body, (0, F, P, W))
+    def body(_, c):
+        return jax.lax.cond(jnp.any(c[2] != 0.0), round_, lambda c: c, c)
+
+    F, _, _ = jax.lax.fori_loop(0, rounds, body, (F, P, W))
     return F
 
 

@@ -3,6 +3,9 @@
 import numpy as np
 import pytest
 
+import jax
+import jax.numpy as jnp
+
 import soillib_tpu as soil
 from tests import oracles
 
@@ -210,3 +213,22 @@ def test_accumulate_global_conservation():
         A = np.asarray(soil.accumulate(flow, rain, soil.d8, method=method))
         np.testing.assert_allclose(A[roots].sum(), total, rtol=1e-4,
                                    err_msg=method)
+
+
+def test_accumulate_reverse_differentiable():
+    """The repo advertises jax.grad through accumulation (calibration /
+    inversion workflows); the operator-doubling short-circuit must stay
+    a fori_loop of conds, not a while_loop (which has no reverse rule)."""
+    h = jnp.asarray(np.random.default_rng(0).random((32, 32), np.float32))
+    flow = soil.steepest(h, soil.d8)
+    rain = jnp.ones((32, 32), jnp.float32)
+
+    # "doubling" is the reverse-differentiable accumulation path (the
+    # stencil/tiled fixed points use convergence-checked while_loops and
+    # never had a reverse rule).
+    g = jax.grad(
+        lambda r: jnp.sum(soil.accumulate(flow, r, soil.d8,
+                                          method="doubling") ** 2)
+    )(rain)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0.0
