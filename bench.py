@@ -148,6 +148,14 @@ def measure_vpu():
     for k, v in _VPU_SPEC_OPS.items():
         if kind.startswith(k):
             spec = max(spec, v)
+    if spec == 0.0 and not interpret:
+        print(
+            f"[roofline] WARNING: device kind {kind!r} not in _VPU_SPEC_OPS;"
+            f" falling back to the fma-chain probe ceiling, which sits BELOW"
+            f" demonstrated co-issue throughput — vs_baseline may exceed 1.0"
+            f" and is not comparable across chip generations",
+            file=sys.stderr,
+        )
     ops_rate = max(probe, spec)
 
     # Per-op cost c: each op body iteration is 1 op-under-test + 1
@@ -411,6 +419,11 @@ def main():
         f"binding: {'HBM' if hbm_sol < compute_sol else 'VPU'}",
         file=sys.stderr,
     )
+    # Schema continuity (VERDICT r2 weak #5): the raw value plus BOTH
+    # ceilings and their measured inputs ride in the JSON, so a change in
+    # what vs_baseline divides by can never silently re-base the
+    # round-over-round trend — vs_baseline = value / min(hbm_sol,
+    # compute_sol) is recomputable from the artifact alone.
     print(
         json.dumps(
             {
@@ -419,6 +432,14 @@ def main():
                 "value": round(value, 1),
                 "unit": "gridpoint-steps/s",
                 "vs_baseline": round(value / sol, 4),
+                "hbm_sol": round(hbm_sol, 1),
+                "compute_sol": round(compute_sol, 1),
+                "bw_bytes_per_s": round(bw, 1),
+                "bytes_per_cell_step": round(
+                    step_bytes_per_cell(args.iters, albedo_on), 1
+                ),
+                "vpu_ops_per_s": round(vpu_ops, 1),
+                "vpu_ops_per_cell_step": round(ops_per_cell_step, 1),
             }
         )
     )

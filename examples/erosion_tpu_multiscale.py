@@ -22,10 +22,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small levels for a fast smoke run")
+    ap.add_argument("--levels", default="",
+                    help="cascade override as res:steps,res:steps,...")
     ap.add_argument("--out", default="/tmp/erosion_multiscale")
     args = ap.parse_args()
 
-    if args.quick:
+    if args.levels:
+        levels = [((int(r), int(r)), int(s))
+                  for r, s in (lv.split(":") for lv in args.levels.split(","))]
+    elif args.quick:
         levels = [((128, 128), 64), ((256, 256), 4), ((512, 512), 2)]
     else:
         levels = [((128, 128), 2048), ((256, 256), 4), ((1000, 1000), 4)]

@@ -99,7 +99,18 @@ class ErosionState:
             if v is None:
                 return default()
             a = jnp.asarray(v, jnp.float32)
-            return a.reshape(1, 1) if a.ndim == 0 else a
+            if a.size == 1 and a.ndim != 2:
+                # Normalize scalar-like inputs (0-d, shape-(1,), (1,1,1)...)
+                # to the compact (1, 1) form parallel/mesh.leaf_spec detects;
+                # a stray shape-(1,) leaf otherwise gets a 3-axis PartitionSpec
+                # and fails opaquely at shard time.
+                return a.reshape(1, 1)
+            if a.ndim != 2:
+                raise ValueError(
+                    f"scalar field must be a scalar or a (W, H) array, got "
+                    f"shape {a.shape}"
+                )
+            return a
 
         def const3(v, default):
             if v is None:

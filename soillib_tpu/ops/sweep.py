@@ -59,6 +59,8 @@ _YPAD_R = SY - TILE_Y - HALO_K    # right zero-pad beyond the last tile
 # SX/SY are the Mosaic DMA slice SIZES and must themselves be (8, 128)-
 # aligned (offsets are aligned via TILE_X % 8 / TILE_Y % 128) — an
 # unaligned override fails deep in Mosaic with an opaque error otherwise.
+assert HALO_K >= 1, "SOIL_SWEEP_K must be >= 1 (K=0 divides by zero in the "\
+    "pass split; K<0 silently misplaces dynamic_update_slice offsets)"
 assert TILE_Y + 2 * HALO_K <= SY and TILE_X % 8 == 0 and TILE_Y % 128 == 0
 assert SX % 8 == 0 and SY % 128 == 0, "SOIL_SWEEP_SX/SY must be 8/128-mult"
 assert TILE_X > 0, "SOIL_SWEEP_SX too small for 2*K halo"
