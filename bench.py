@@ -288,7 +288,7 @@ def cohort_round_ops(costs, albedo_on=True):
         "fluvial": (7 if albedo_on else 4, 1, make_fluvial_rules(p, Llen)),
         "debris": (6 if albedo_on else 3, 1, make_debris_rules(p, Llen, 1.0)),
     }.items():
-        S = 5 + C
+        S = co.NSTATE + C
         st = jnp.ones((S, W, H), jnp.float32)
         G = jnp.zeros((C, W, H), jnp.float32)
         aux = jnp.ones((3 + A, W, H), jnp.float32)
@@ -304,17 +304,19 @@ def cohort_round_ops(costs, albedo_on=True):
 def step_bytes_per_cell(iters: int, albedo_on=True) -> float:
     """Minimum HBM traffic per cell per coupled step with the temporally-
     blocked cohort passes (ops/cohort.py, K=16 rounds per pass): each pass
-    reads the (5+C)-channel state window, the (3+A)-channel aux window and
+    reads the (NSTATE+C)-channel state window, the (3+A)-channel aux
+    window and
     the old C-channel deposit tile, writes the state interior and the
     updated deposits (aliased in place), and the scan carry update copies
     the state interior back into the padded buffer (read + write); plus
     ~40 float32 field touches for terms/normalize/transfer/creep."""
+    from soillib_tpu.ops.cohort import NSTATE
     from soillib_tpu.ops.sweep import HALO_K
 
     passes = -(-iters // HALO_K)
 
     def cohort(C, A):
-        S = 5 + C
+        S = NSTATE + C
         per_pass = (S + (3 + A) + C) * 4  # window + old-G reads
         per_pass += (S + C) * 4           # state + deposit write-back
         per_pass += 2 * S * 4             # carry update copy

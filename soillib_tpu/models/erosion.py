@@ -171,8 +171,9 @@ _RATE_CLIP = 1e4
 
 def _cohort_state(w0, speed0, carried0):
     """Pack the initial cohort state (see ops/cohort.py): weight, weighted
-    mean velocity, weighted per-axis second velocity moments (newborns
-    are velocity-deterministic, so E[v^2] = v^2), carried totals.
+    mean velocity, weighted per-axis second velocity moments and the
+    cross-moment (newborns are velocity-deterministic, so E[v^2] = v^2
+    and E[vx*vy] = vx*vy), carried totals.
 
     Returned as a lazy channel TUPLE (ops/cohort.py `as_stack` form): the
     Pallas path then builds its padded staging buffer channel-by-channel,
@@ -180,7 +181,8 @@ def _cohort_state(w0, speed0, carried0):
     materializes next to its padded copy."""
     return (w0, w0 * speed0[0], w0 * speed0[1],
             w0 * speed0[0] * speed0[0],
-            w0 * speed0[1] * speed0[1]) + tuple(carried0)
+            w0 * speed0[1] * speed0[1],
+            w0 * speed0[0] * speed0[1]) + tuple(carried0)
 
 
 # ---------------------------------------------------------------------------
@@ -346,21 +348,25 @@ def _3len(a):
     return jnp.sqrt(jnp.sum(a * a, axis=-1))
 
 
-def make_fluvial_rules(p, Llen):
+def make_fluvial_rules(p, Llen, albedo_on=None):
     """The fluvial cohort physics callback (module-level so bench.py's
     roofline can trace the REAL closure — see bench.py cohort_round_ops).
-    Captures only static scalars; per-cell inputs ride in `aux`."""
+    Captures only static scalars; per-cell inputs ride in `aux`.
+
+    Returns per-CLASS transit factors (water/mass/momentum); the static
+    `rules.classes` maps carried channels (water, mass, vel_x, vel_y
+    [, albedo rgb]) to classes so ops/cohort.py can fold each stream's
+    factors into its push weights once per class."""
     kd = p.depositionRateFluvial * 1.33   # erosion.cu:69
     nu = p.viscosityWater
     tau = p.bedShearWater
     evap = p.evapRate
+    if albedo_on is None:
+        albedo_on = p.trackAlbedo
 
     def rules(dL, inv, w, carried, unit2, aux):
         ux, uy = unit2
         rate_v = aux[0]  # static per-cell momentum-decay rate, hoisted
-        AW, AM = carried[0], carried[1]
-        AV = carried[2:4]
-        AB = carried[4:7]  # empty slice when albedo is untracked
         w1 = 1.0 / (1.0 + dL * (tau + nu))
         # ds = dL / v exponents are << 1 at fluvial rates — plain exp at
         # the mean step suffices (Jensen correction immaterial); the
@@ -372,15 +378,11 @@ def make_fluvial_rules(p, Llen):
         fac_w = jnp.exp(-jnp.minimum(dL * inv * evap, 88.0))
         fac_m = jnp.exp(-jnp.minimum(dL * inv * kd, 88.0))
         fac_v = expected_exp_step(ux, uy, rate_v)
-        parts = [
-            jnp.stack([AW * fac_w, AM * fac_m], axis=0),
-            AV * fac_v[None],
-        ]
-        if AB.shape[0]:
-            parts.append(AB * fac_m[None])
-        carried_out = jnp.concatenate(parts, axis=0)
-        return w1, carried_out
+        return w1, (fac_w, fac_m, fac_v)
 
+    # (water, mass, vel_x, vel_y[, albedo r, g, b]); albedo shares the
+    # mass attenuation (erosion.cu:111-113).
+    rules.classes = (0, 1, 2, 2) + ((1, 1, 1) if albedo_on else ())
     return rules
 
 
@@ -586,22 +588,24 @@ def _fluvial_particles(
 # ---------------------------------------------------------------------------
 
 
-def make_debris_rules(p, Llen, rho):
+def make_debris_rules(p, Llen, rho, albedo_on=None):
     """The debris cohort physics callback (module-level so bench.py's
     roofline can trace the REAL closure). `rho` = particles born per cell
-    (N-aware closure, see transport_debris)."""
+    (N-aware closure, see transport_debris). Factor-class form — see
+    make_fluvial_rules."""
     nu = p.viscosityDebris
     tau = p.bedShearDebris
     g = p.gravity
     kdd = p.depositionRateDebris
     kds = p.suspensionRateDebris
     tau_y = p.yieldStress
+    if albedo_on is None:
+        albedo_on = p.trackAlbedo
 
     def rules(dL, inv, w, carried, unit2, aux):
         ux, uy = unit2
         excess0 = aux[0]
-        M, AVx, AVy = carried[0], carried[1], carried[2]
-        B = carried[3:]
+        M = carried[0]
         # Per-particle carried mass, capped at 1e12 (double-where):
         # thin-but-alive cohorts keep the exact intensive M/(w rho)
         # — carried totals scale with w, so the ratio stays O(1) as
@@ -630,12 +634,11 @@ def make_debris_rules(p, Llen, rho):
         fac_v = expected_exp_step(
             ux, uy, jnp.clip(-Llen * decay, -_RATE_CLIP, 0.0)
         )
-        parts = [jnp.stack([M * fac_d, AVx * fac_v, AVy * fac_v], axis=0)]
-        if B.shape[0]:
-            parts.append(B * fac_d[None])
-        carried_out = jnp.concatenate(parts, axis=0)
-        return w1, carried_out
+        return w1, (fac_d, fac_v)
 
+    # (mass, vel_x, vel_y[, albedo r, g, b]); albedo shares the mass
+    # factor (erosion.cu:311-321).
+    rules.classes = (0, 1, 1) + ((0, 0, 0) if albedo_on else ())
     return rules
 
 

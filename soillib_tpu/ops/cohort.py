@@ -15,7 +15,8 @@ Ref: the per-particle trajectory loop this models is erosion.cu:281-351
 (debris); the deposits are the atomicAdd entries at erosion.cu:311-321.
 
 State layout (channel-first):
-  st  = (5 + C, W, H): [w, w*vx, w*vy, w*E[vx^2], w*E[vy^2], carried...]
+  st  = (NSTATE + C, W, H): [w, w*vx, w*vy, w*E[vx^2], w*E[vy^2],
+                             w*E[vx*vy], carried...]
   aux = (3 + A, W, H): [accel_x, accel_y, domain mask, rules aux...]
   G   = (C, W, H) accumulated arrival deposits.
 
@@ -28,10 +29,16 @@ the domain die, erosion.cu:281 `__oob`), in every execution mode.
 
 `rules(dL, inv_speed, w, carried, (ux, uy), aux_tail)` is the physics
 callback (traced into the kernel); it returns the implicit-Euler friction
-weight w1 and the advanced carried totals.
+weight w1 and a tuple of per-attenuation-CLASS transit factors; the static
+attribute `rules.classes` maps each carried channel to its factor class.
+The factor form (rather than pre-multiplied carried totals) is what makes
+per-stream evaluation affordable: each directional stream's factors fold
+into its push weights once per class instead of once per channel.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +56,27 @@ from soillib_tpu.ops.sweep import (
 from soillib_tpu.ops.transport import stepsize_expected, stepsize_var
 
 _EPS = 1e-12
+
+# Moment channels ahead of the carried totals:
+# [w, w*vx, w*vy, w*E[vx^2], w*E[vy^2], w*E[vx*vy]].
+NSTATE = 6
+
+# Closure toggles (trace-time constants; env-overridable for ablation
+# studies — benchmarks/parity.py):
+#  * XMOM: condition each directional stream's TRANSVERSE velocity
+#    moments on the stream via the E[vx*vy] cross-moment regression
+#    (off: streams carry the unconditional transverse moments).
+#  * PERSTREAM: evaluate the step rule and the attenuation physics per
+#    directional stream — each stream's own crossing distance, RMS speed,
+#    friction weight and transit factors (off: one shared evaluation at
+#    the cell's pooled dispersion-weighted direction and RMS speed).
+# Both default OFF: measured against the converged-MC oracle
+# (benchmarks/parity.py, noise terrain) neither moves the rough-terrain
+# discharge correlation (~0.70 in every variant) and XMOM trades mass
+# rel_mean for corr; the cross-moment channel is still carried so the
+# ablations stay one env var away.  See RESULTS.md closure study.
+_XMOM = os.environ.get("SOIL_COHORT_XMOM", "0") == "1"
+_PERSTREAM = os.environ.get("SOIL_COHORT_PERSTREAM", "0") == "1"
 
 
 def _roll_push(payloads):
@@ -144,27 +172,94 @@ def _axis_streams(mu, m2):
         jnp.maximum(m2_neg, 0.0)
 
 
+def _cond_stream(c_own, m2_own, mu_own, mu_t, m2_t, b, var_own):
+    """Transverse moments of a directional stream, conditioned on the
+    own-axis truncation through the cross-moment regression
+    v_t = mu_t + b (v_own - mu_own) + eps, b = cov/var_own.
+
+    Returns (E[v_t|S], E[v_t^2|S], E[v_own*v_t|S]) given the stream's
+    own-axis conditional moments (c_own = E[v_own|S], m2_own =
+    E[v_own^2|S]). b = 0 reduces to the unconditional transverse
+    moments. The m2 floor at mean² guards against roundoff producing a
+    negative conditional variance."""
+    dmu = c_own - mu_own
+    mt = mu_t + b * dmu
+    ex2c = m2_own - 2.0 * mu_own * c_own + mu_own * mu_own
+    m2t = m2_t + 2.0 * mu_t * b * dmu + b * b * (ex2c - var_own)
+    m2t = jnp.maximum(m2t, mt * mt)
+    mxyc = mu_t * c_own + b * (m2_own - mu_own * c_own)
+    return mt, m2t, mxyc
+
+
+def _regress_coef(m2_own, var_own, cov):
+    """cov/var_own with the deterministic-axis branch zeroed (conditioning
+    on a dispersion-free axis is a no-op) — double-where'd for f32
+    reverse-mode safety."""
+    small = var_own <= 1e-12 * jnp.maximum(m2_own, _EPS)
+    return jnp.where(small, 0.0, cov / jnp.where(small, 1.0, var_own))
+
+
+def _stream_geom(m2_own, m2_t):
+    """Per-stream kinematics from the stream's raw second moments:
+    (1/RMS-speed, own-axis direction cosine, transverse cosine) with
+    u_own² = m2_own / (m2_own + m2_t) — RMS components, exact in the
+    deterministic limit."""
+    zo = jnp.maximum(m2_own, 0.0)
+    zt = jnp.maximum(m2_t, 0.0)
+    s2 = zo + zt
+    inv_s = jax.lax.rsqrt(jnp.maximum(s2, _EPS * _EPS))
+    u_own = jnp.sqrt(zo) * inv_s
+    u_t = jnp.sqrt(zt) * inv_s
+    return inv_s, u_own, u_t
+
+
+def _stream_advance(w1, dL, dvar, ax, ay, mx, my, m2x_, m2y_, mxy_):
+    """Post-transit velocity moments of one stream: implicit-Euler
+    friction weight w1 on (v + dL*a), with the random-crossing-distance
+    variance dvar = Var[dL] injected into the second moments (the
+    particle reference's step is random in the birth position; see
+    stepsize_var). The cross-moment picks up the SHARED step randomness
+    of the two axes: E[(vx+ax dL)(vy+ay dL)] = mxy + dax my + day mx +
+    ax ay E[dL²], with E[dL²] = dL² + dvar."""
+    dax, day = dL * ax, dL * ay
+    w2 = w1 * w1
+    vox = w1 * (mx + dax)
+    voy = w1 * (my + day)
+    m2xo = w2 * (m2x_ + 2.0 * dax * mx + dax * dax + dvar * (ax * ax))
+    m2yo = w2 * (m2y_ + 2.0 * day * my + day * day + dvar * (ay * ay))
+    mxyo = w2 * (mxy_ + dax * my + day * mx + dax * day + dvar * (ax * ay))
+    return vox, voy, m2xo, m2yo, mxyo
+
+
 def cohort_round(st, G, aux, rules, Llen, push):
     """One cohort transit: mix -> particle-state step -> push -> deposit.
 
     Shared verbatim by the jnp reference loop, the Pallas kernel and the
     sharded block advance, so all three stay numerically identical.
 
-    The cohort velocity is a Gaussian moment closure — per-axis mean AND
-    second moment — because the MC ensemble at a cell is velocity-
-    DISPERSED (merged histories, cross-valley oscillation, staircase
-    dither). A mean-only cohort collapses every stream onto the single
-    steepest line and over-concentrates discharge 2-4x in valleys/pits
-    (benchmarks/parity.py); splitting the outflow by the expected
-    positive/negative velocity parts keeps the dispersion, and merging
-    sums second moments exactly."""
+    The cohort velocity is a Gaussian moment closure — per-axis mean,
+    second moments AND the E[vx*vy] cross-moment — because the MC
+    ensemble at a cell is velocity-DISPERSED (merged histories,
+    cross-valley oscillation, staircase dither). A mean-only cohort
+    collapses every stream onto the single steepest line and over-
+    concentrates discharge 2-4x in valleys/pits (benchmarks/parity.py);
+    splitting the outflow by the expected positive/negative velocity
+    parts keeps the dispersion, and merging sums all moments exactly.
+    Each directional stream carries truncated-Gaussian conditional
+    moments on its own axis; optionally (_XMOM) cross-moment-regressed
+    moments on the transverse axis, and optionally (_PERSTREAM) its OWN
+    crossing distance, RMS speed, friction weight and attenuation
+    factors. The physics being modeled is the per-particle trajectory
+    loop of erosion.cu:100-136."""
     w = st[0]
     safe_w = jnp.maximum(w, _EPS)
-    inv_w = 1.0 / safe_w  # one reciprocal instead of four divides
+    inv_w = 1.0 / safe_w  # one reciprocal instead of five divides
     vbx, vby = st[1] * inv_w, st[2] * inv_w
     m2x, m2y = st[3] * inv_w, st[4] * inv_w
-    carried = st[5:]
+    mxy = st[5] * inv_w
+    carried = st[NSTATE:]
     accel = aux[:2]
+    axl, ayl = accel[0], accel[1]
 
     # RMS speed: non-cancelling (a mean-velocity norm fakes near-zero
     # speeds at convergent cells and exp-overflows the rate physics).
@@ -172,7 +267,6 @@ def cohort_round(st, G, aux, rules, Llen, push):
     szero = srms_sq <= 0.0
     sbar = jnp.where(szero, 0.0, jnp.sqrt(jnp.where(szero, 1.0, srms_sq)))
     alive = (sbar >= _EPS) & (w > 0.0) & (aux[2] > 0.0)
-    inv = 1.0 / jnp.maximum(sbar, _EPS)
 
     # Directional stream decomposition (split weights + the conditional
     # moments each stream carries).
@@ -183,70 +277,115 @@ def cohort_round(st, G, aux, rules, Llen, push):
     wxp, wxn = Exp * inv_denom, Exn * inv_denom
     wyp, wyn = Eyp * inv_denom, Eyn * inv_denom
 
-    # Direction cosines for the step rule / attenuation anisotropy: the
-    # dispersion-weighted axis shares (reduce to |v̂| components when
-    # sigma -> 0).
-    ax = Exp + Exn
-    ay = Eyp + Eyn
-    inv_an = jax.lax.rsqrt(jnp.maximum(ax * ax + ay * ay, _EPS * _EPS))
-    ux = ax * inv_an
-    uy = ay * inv_an
-    step = stepsize_expected(ux, uy)
-    dL = step * Llen
+    # Cross-moment regression coefficients (Cauchy-Schwarz-clamped: f32
+    # roundoff and the carried clip can push |cov| past sqrt(varx*vary),
+    # which would make conditional variances negative).
+    varx = jnp.maximum(m2x - vbx * vbx, 0.0)
+    vary = jnp.maximum(m2y - vby * vby, 0.0)
+    if _XMOM:
+        prod = varx * vary
+        pzero = prod <= 0.0
+        lim = jnp.where(
+            pzero, 0.0, 0.99 * jnp.sqrt(jnp.where(pzero, 1.0, prod))
+        )
+        cov = jnp.clip(mxy - vbx * vby, -lim, lim)
+        bx = _regress_coef(m2x, varx, cov)
+        by = _regress_coef(m2y, vary, cov)
+    else:
+        bx = by = jnp.zeros_like(w)
 
-    w1, carried_out = rules(dL, inv, safe_w, carried, (ux, uy), aux[3:])
+    # Transverse moments of each stream (unconditional when bx=by=0).
+    my_xp, m2y_xp, mxy_xp = _cond_stream(cxp, m2xp, vbx, vby, m2y, bx, varx)
+    my_xn, m2y_xn, mxy_xn = _cond_stream(cxn, m2xn, vbx, vby, m2y, bx, varx)
+    mx_yp, m2x_yp, mxy_yp = _cond_stream(cyp, m2yp, vby, vbx, m2x, by, vary)
+    mx_yn, m2x_yn, mxy_yn = _cond_stream(cyn, m2yn, vby, vbx, m2x, by, vary)
 
-    dax, day = dL * accel[0], dL * accel[1]
-    # The crossing distance is random in the particle reference (uniform
-    # birth position), so each transit also injects velocity variance
-    # a² Llen² Var[step] per axis — without it the ensemble is too
-    # ballistic and discharge over-concentrates on rough terrain (see
-    # stepsize_var).
-    dvar = (Llen * Llen) * stepsize_var(ux, uy)
-    vax, vay = dvar * (accel[0] * accel[0]), dvar * (accel[1] * accel[1])
+    aux_tail = aux[3:]
+    if _PERSTREAM:
+        def stream_phys(m2_own, m2_t, own_is_x):
+            inv_s, u_own, u_t = _stream_geom(m2_own, m2_t)
+            u2 = (u_own, u_t) if own_is_x else (u_t, u_own)
+            stp = stepsize_expected(*u2)
+            dL_s = stp * Llen
+            dvar_s = (Llen * Llen) * stepsize_var(*u2)
+            w1_s, facs_s = rules(dL_s, inv_s, safe_w, carried, u2, aux_tail)
+            return dL_s, dvar_s, w1_s, facs_s
 
-    def upd_m2(m2c, c, a_, av_):
-        """E[v'^2] = w1^2 (m2 + 2 E[dL] a mu + a²E[dL²]): the last term
-        split as (E[dL]a)² + a²Var[dL] (av_)."""
-        return w1 * w1 * (m2c + 2.0 * a_ * c + a_ * a_ + av_)
+        ph_xp = stream_phys(m2xp, m2y_xp, True)
+        ph_xn = stream_phys(m2xn, m2y_xn, True)
+        ph_yp = stream_phys(m2x_yp, m2yp, False)
+        ph_yn = stream_phys(m2x_yn, m2yn, False)
+    else:
+        # One shared evaluation at the pooled dispersion-weighted
+        # direction (E|v| axis shares) and pooled RMS speed.
+        ax = Exp + Exn
+        ay = Eyp + Eyn
+        inv_an = jax.lax.rsqrt(jnp.maximum(ax * ax + ay * ay, _EPS * _EPS))
+        ux = ax * inv_an
+        uy = ay * inv_an
+        step = stepsize_expected(ux, uy)
+        dL = step * Llen
+        dvar = (Llen * Llen) * stepsize_var(ux, uy)
+        inv = 1.0 / jnp.maximum(sbar, _EPS)
+        w1, facs = rules(dL, inv, safe_w, carried, (ux, uy), aux_tail)
+        ph_xp = ph_xn = ph_yp = ph_yn = (dL, dvar, w1, facs)
 
-    vox = w1 * (vbx + dax)
-    voy = w1 * (vby + day)
-    m2xo = upd_m2(m2x, vbx, dax, vax)
-    m2yo = upd_m2(m2y, vby, day, vay)
-    # Stream-conditioned updates along the push axis.
-    vox_p, vox_n = w1 * (cxp + dax), w1 * (cxn + dax)
-    voy_p, voy_n = w1 * (cyp + day), w1 * (cyn + day)
-    m2xo_p, m2xo_n = upd_m2(m2xp, cxp, dax, vax), upd_m2(m2xn, cxn, dax, vax)
-    m2yo_p, m2yo_n = upd_m2(m2yp, cyp, day, vay), upd_m2(m2yn, cyn, day, vay)
+    # Post-transit moments per stream (each at its own kinematics).
+    adv_xp = _stream_advance(ph_xp[2], ph_xp[0], ph_xp[1], axl, ayl,
+                             cxp, my_xp, m2xp, m2y_xp, mxy_xp)
+    adv_xn = _stream_advance(ph_xn[2], ph_xn[0], ph_xn[1], axl, ayl,
+                             cxn, my_xn, m2xn, m2y_xn, mxy_xn)
+    adv_yp = _stream_advance(ph_yp[2], ph_yp[0], ph_yp[1], axl, ayl,
+                             mx_yp, cyp, m2x_yp, m2yp, mxy_yp)
+    adv_yn = _stream_advance(ph_yn[2], ph_yn[0], ph_yn[1], axl, ayl,
+                             mx_yn, cyn, m2x_yn, m2yn, mxy_yn)
 
     wa = jnp.where(alive, w, 0.0)
-    carried_out = jnp.where(
-        alive[None], jnp.clip(carried_out, -1e30, 1e30), 0.0
-    )
 
     # CHANNEL-WISE push assembly: each output channel's four directional
     # payloads are built, shifted and summed independently — never the
-    # four (S, W, H) stream stacks at once. Same per-element products and
-    # add order as the stacked form (bitwise identical), but the peak
-    # VMEM live set in the Pallas kernel drops from ~6 full-stack
-    # temporaries to ~2 stacks + per-channel scalars, which is what lets
-    # the window grow to lower halo-overhead geometries.
+    # four (S, W, H) stream stacks at once (peak-VMEM discipline in the
+    # Pallas kernel; see ops/sweep.py).
     wxp_a, wxn_a = wa * wxp, wa * wxn
     wyp_a, wyn_a = wa * wyp, wa * wyn
 
-    out = [
-        push((wxp_a, wxn_a, wyp_a, wyn_a)),
-        push((wxp_a * vox_p, wxn_a * vox_n, wyp_a * vox, wyn_a * vox)),
-        push((wxp_a * voy, wxn_a * voy, wyp_a * voy_p, wyn_a * voy_n)),
-        push((wxp_a * m2xo_p, wxn_a * m2xo_n, wyp_a * m2xo, wyn_a * m2xo)),
-        push((wxp_a * m2yo, wxn_a * m2yo, wyp_a * m2yo_p, wyn_a * m2yo_n)),
+    out = [push((wxp_a, wxn_a, wyp_a, wyn_a))]
+    # adv_* = (vox, voy, m2xo, m2yo, mxyo) per stream, in push order.
+    for q in range(5):
+        out.append(push((wxp_a * adv_xp[q], wxn_a * adv_xn[q],
+                         wyp_a * adv_yp[q], wyn_a * adv_yn[q])))
+
+    # Carried-channel deposits: per-stream per-CLASS attenuated weights
+    # (alive-masked), folded once per class and reused across channels.
+    classes = getattr(rules, "classes", None)
+    if classes is None:
+        classes = tuple(range(len(carried)))
+    nk = (max(classes) + 1) if len(classes) else 0
+    zero = jnp.zeros_like(w)
+    wxp_z = jnp.where(alive, wxp, zero)
+    wxn_z = jnp.where(alive, wxn, zero)
+    wyp_z = jnp.where(alive, wyp, zero)
+    wyn_z = jnp.where(alive, wyn, zero)
+    fw = [
+        (wxp_z * ph_xp[3][k], wxn_z * ph_xn[3][k],
+         wyp_z * ph_yp[3][k], wyn_z * ph_yn[3][k])
+        for k in range(nk)
     ]
-    deposits = [
-        push((wxp * c, wxn * c, wyp * c, wyn * c)) for c in carried_out
-    ]
+    deposits = []
+    for c, k in zip(carried, classes):
+        fxp, fxn, fyp, fyn = fw[k]
+        # Clip AFTER the carried*factor product: growth factors are
+        # bounded (expected_exp_step clips exponents), so the product
+        # can saturate to inf but never NaN, and the clip restores the
+        # ±1e30 carried ceiling before arrivals merge.
+        deposits.append(push((
+            jnp.clip(c * fxp, -1e30, 1e30),
+            jnp.clip(c * fxn, -1e30, 1e30),
+            jnp.clip(c * fyp, -1e30, 1e30),
+            jnp.clip(c * fyn, -1e30, 1e30),
+        )))
     arrivals = jnp.stack(out + deposits, axis=0)
-    return arrivals, G + arrivals[5:]
+    return arrivals, G + arrivals[NSTATE:]
 
 
 def as_stack(x):
@@ -280,7 +419,7 @@ def cohort_advance_reference(st0, aux, rules, iters, Llen):
         return cohort_round(st, G, aux, rules, Llen, shift_push)
 
     return jax.lax.fori_loop(
-        0, int(iters), body, (st0, jnp.zeros_like(st0[5:]))
+        0, int(iters), body, (st0, jnp.zeros_like(st0[NSTATE:]))
     )
 
 
@@ -386,7 +525,7 @@ def _cohort_call(STp, AUXp, G, rules, rounds, Llen, grid_wh, interpret):
     deposit output aliases it (in-place tile read-modify-write)."""
     S = STp.shape[0]
     A = AUXp.shape[0]
-    C = S - 5
+    C = S - NSTATE
     gw, gh = grid_wh
     n_tiles = gw * gh
 
@@ -441,7 +580,7 @@ def cohort_advance(st0, aux, rules, iters, Llen, *, interpret=False):
     aux_ch = _channels(aux)
     S = len(st_ch)
     W, H = st_ch[0].shape
-    C = S - 5
+    C = S - NSTATE
     K = HALO_K
     gw = -(-W // TILE_X)
     gh = -(-H // TILE_Y)

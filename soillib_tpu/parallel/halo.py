@@ -180,7 +180,7 @@ class ShardHalo(Halo):
         )
 
         ST = st0
-        G = jnp.zeros_like(st0[5:])
+        G = jnp.zeros_like(st0[CO.NSTATE:])
         n_full, rem = divmod(int(iters), K)
         if n_full:
             # lax.scan bounds buffer liveness to one pass (see
@@ -200,7 +200,7 @@ class ShardHalo(Halo):
 
     def _run_cohort_per_round(self, st0, aux, rules, iters: int, Llen):
         """Per-round cohort-state halo exchange (1-cell ppermute/round)."""
-        from soillib_tpu.ops.cohort import cohort_round, shift_push
+        from soillib_tpu.ops.cohort import NSTATE, cohort_round, shift_push
 
         def push(payloads):
             return self.crop_cf(
@@ -212,7 +212,7 @@ class ShardHalo(Halo):
             return cohort_round(st, G, aux, rules, Llen, push)
 
         _, G = jax.lax.fori_loop(
-            0, int(iters), body, (st0, jnp.zeros_like(st0[5:]))
+            0, int(iters), body, (st0, jnp.zeros_like(st0[NSTATE:]))
         )
         return G
 

@@ -124,7 +124,8 @@ def _cohort_problem(key, C, W, H):
     aux = jnp.concatenate([accel, mask, excess[None]], axis=0)
     st0 = jnp.concatenate(
         [jnp.stack([w0, w0 * speed0[0], w0 * speed0[1],
-                    w0 * speed0[0] ** 2, w0 * speed0[1] ** 2], axis=0),
+                    w0 * speed0[0] ** 2, w0 * speed0[1] ** 2,
+                    w0 * speed0[0] * speed0[1]], axis=0),
          carried0], axis=0)
 
     def rules(dL, inv, w, carried, unit2, aux_tail):
@@ -134,8 +135,9 @@ def _cohort_problem(key, C, W, H):
         decay = 0.1 + jnp.abs(aux_tail[0])
         w1 = 1.0 / (1.0 + dL * decay)
         fac = expected_exp_step(ux, uy, -decay * inv)
-        return w1, carried * fac[None]
+        return w1, (fac,)
 
+    rules.classes = (0,) * C
     return st0, aux, rules
 
 
