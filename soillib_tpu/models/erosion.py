@@ -182,7 +182,12 @@ def _cohort_state(w0, speed0, carried0):
     return (w0, w0 * speed0[0], w0 * speed0[1],
             w0 * speed0[0] * speed0[0],
             w0 * speed0[1] * speed0[1],
-            w0 * speed0[0] * speed0[1]) + tuple(carried0)
+            w0 * speed0[0] * speed0[1],
+            # Newborn sub-cell offsets: uniform over the birth cell
+            # (erosion.cu:47-52 seeds pos uniformly): mean 1/2,
+            # raw second moment E[f^2] = 1/3.
+            w0 * 0.5, w0 * 0.5,
+            w0 * (1.0 / 3.0), w0 * (1.0 / 3.0)) + tuple(carried0)
 
 
 # ---------------------------------------------------------------------------

@@ -16,7 +16,8 @@ Ref: the per-particle trajectory loop this models is erosion.cu:281-351
 
 State layout (channel-first):
   st  = (NSTATE + C, W, H): [w, w*vx, w*vy, w*E[vx^2], w*E[vy^2],
-                             w*E[vx*vy], carried...]
+                             w*E[vx*vy], w*E[fx], w*E[fy],
+                             w*E[fx^2], w*E[fy^2], carried...]
   aux = (3 + A, W, H): [accel_x, accel_y, domain mask, rules aux...]
   G   = (C, W, H) accumulated arrival deposits.
 
@@ -58,8 +59,25 @@ from soillib_tpu.ops.transport import stepsize_expected, stepsize_var
 _EPS = 1e-12
 
 # Moment channels ahead of the carried totals:
-# [w, w*vx, w*vy, w*E[vx^2], w*E[vy^2], w*E[vx*vy]].
-NSTATE = 6
+# [w, w*vx, w*vy, w*E[vx^2], w*E[vy^2], w*E[vx*vy],
+#  w*E[fx], w*E[fy], w*E[fx^2], w*E[fy^2]]
+# where (fx, fy) in [0,1]^2 are SUB-CELL position offsets (distance from
+# the -x / -y cell faces, in cell units).  The reference particle carries
+# continuous position (erosion.cu:135 `pos += v_step * v_unit`), so a
+# deterministic trajectory walks an exact DDA staircase of width <= 1
+# cell forever; a closure without position state re-randomizes the exit
+# face every round and spreads any non-axis-aligned stream binomially
+# (sd ~ sqrt(rounds)/2 cells — measured corr 0.51 vs MC on a tilted
+# plane).  Carrying the offset MEANS restores the deterministic
+# staircase while reducing EXACTLY to the old dispersed-ensemble split
+# when offsets are uniform; carrying the SECOND moments makes the
+# distribution width real — shrinking under exit-branch truncation
+# (convergent flow focuses), growing as mixture variance under merges —
+# instead of the 2*min(m, 1-m) inference that reads a deterministic
+# mid-cell offset as a full-width uniform (which re-injects the full
+# birth-position step variance every round and plumes a point-source
+# stream to ~4x the MC footprint; /tmp one-stream census).
+NSTATE = 10
 
 # Closure toggles (trace-time constants; env-overridable for ablation
 # studies — benchmarks/parity.py):
@@ -77,6 +95,39 @@ NSTATE = 6
 # ablations stay one env var away.  See RESULTS.md closure study.
 _XMOM = os.environ.get("SOIL_COHORT_XMOM", "0") == "1"
 _PERSTREAM = os.environ.get("SOIL_COHORT_PERSTREAM", "0") == "1"
+
+#  * VDIST: per-axis velocity marginal family for the directional
+#    stream decomposition — "uniform" (bounded support; zero backward
+#    leakage for coherent streams) or "gauss" (truncated-Gaussian,
+#    the round-2 closure).  See _axis_streams.
+_VDIST = os.environ.get("SOIL_COHORT_VDIST", "gauss")
+
+#  * OFFSTEP: offset-conditional crossing-distance moments.  The legacy
+#    stepsize_expected/var assume a UNIFORM within-cell position every
+#    round — re-injecting Var[dL]*a^2 of velocity variance per transit
+#    even into a spatially coherent stream.  That variance ratchet is
+#    what turns a single point-source stream into an ~8-cell-wide plume
+#    (measured: visit ratio 1.73x, corr 0.39 vs the MC stream's 1-cell
+#    path).  With OFFSTEP the step moments are taken over the CARRIED
+#    offset distribution (mean + inferred width), which reduces exactly
+#    to the legacy formulas for uniform offsets (newborns) and collapses
+#    Var[dL] -> O(width^2) for coherent streams.
+_OFFSTEP = os.environ.get("SOIL_COHORT_OFFSTEP", "1") == "1"
+
+#  * OFFSETS: route the exit-face split through the carried sub-cell
+#    position offsets (quadrant-count-based DDA walk; see cohort_round).
+#    Uniform offsets reduce to the legacy dispersion split, so this only
+#    changes behavior where the ensemble is spatially coherent — which
+#    is exactly where the legacy split's per-round Bernoulli exit smears
+#    thin streams laterally.
+_OFFSETS = os.environ.get("SOIL_COHORT_OFFSETS", "1") == "1"
+
+# Inferred-width floor for the offset distributions: one-sided-cut
+# populations are endpoint-anchored uniforms whose width is exactly
+# 2*min(m, 1-m); merged bundles violate that, and the floor keeps a
+# residual smoothing so the split never becomes a hard switch on a
+# mixture that only LOOKS coherent.
+_OFF_WMIN = 0.05
 
 
 def _roll_push(payloads):
@@ -133,19 +184,59 @@ def _norm_cdf(z, gauss):
 
 
 def _axis_streams(mu, m2):
-    """Directional decomposition of a per-axis Gaussian velocity ensemble
-    N(mu, m2 - mu^2) into its positive- and negative-going streams.
+    """Directional decomposition of a per-axis velocity ensemble with
+    mean mu and raw second moment m2 into its positive- and negative-
+    going streams.
 
-    Returns (E[v+], E[v-], E[v|v>0], E[v|v<0], E[v^2|v>0], E[v^2|v<0]):
-    the half-moment magnitudes that set the outflow split weights, plus
-    the truncated-Gaussian conditional moments each stream CARRIES — the
+    Returns (E[v+], E[v-], E[v|v>0], E[v|v<0], E[v^2|v>0], E[v^2|v<0],
+    P(v>0)): the half-moment magnitudes that set the outflow split
+    weights, plus the conditional moments each stream CARRIES — the
     conditioning is what keeps sub-streams ballistic (a +x-going stream
     arrives still moving +x) instead of re-randomizing into a diffusion
     every round. sigma -> 0 collapses everything onto the deterministic
-    single-direction particle."""
+    single-direction particle.
+
+    Two marginal families (SOIL_COHORT_VDIST):
+      * "uniform" (default): v ~ U[mu - sqrt(3) sigma, mu + sqrt(3) sigma]
+        — BOUNDED support.  The reference particle's velocity relaxes
+        toward the local gradient (erosion.cu:124-136) and a coherent
+        downslope ensemble has NO backward-moving members; the Gaussian
+        family leaks Phi(-mu/sigma) backward weight every round, a
+        random walk along the flow axis that measurably inflates
+        residence time (census: 1.175x total interior deposits at
+        evap=0).  For mu > sqrt(3) sigma the uniform family's backward
+        weight is exactly 0.  Also transcendental-free (no exp/erf).
+      * "gauss": truncated-Gaussian conditioning (round-2 closure).
+    """
     var = jnp.maximum(m2 - mu * mu, 0.0)
     small = var <= 1e-12 * jnp.maximum(m2, _EPS)
     sigma = jnp.where(small, 0.0, jnp.sqrt(jnp.where(small, 1.0, var)))
+
+    if _VDIST == "uniform":
+        # Support [lo, hi], half-width sqrt(3) sigma, length L = hi - lo.
+        s3 = 1.7320508075688772 * sigma
+        lo, hi = mu - s3, mu + s3
+        L = jnp.where(small, 1.0, 2.0 * s3)
+        inv_L = 1.0 / jnp.maximum(L, _EPS)
+        lo_p, hi_p = jnp.maximum(lo, 0.0), jnp.maximum(hi, 0.0)
+        lo_n, hi_n = jnp.minimum(lo, 0.0), jnp.minimum(hi, 0.0)
+        Epos = jnp.where(small, jnp.maximum(mu, 0.0),
+                         0.5 * (hi_p * hi_p - lo_p * lo_p) * inv_L)
+        Eneg = jnp.maximum(Epos - mu, 0.0)
+        c_pos = jnp.where(small, mu, 0.5 * (lo_p + hi_p))
+        c_neg = jnp.where(small, mu, 0.5 * (lo_n + hi_n))
+        third = 1.0 / 3.0
+        m2_pos = jnp.where(
+            small, m2,
+            third * (hi_p * hi_p + hi_p * lo_p + lo_p * lo_p))
+        m2_neg = jnp.where(
+            small, m2,
+            third * (hi_n * hi_n + hi_n * lo_n + lo_n * lo_n))
+        P_pos = jnp.where(
+            small, jnp.where(mu > 0, 1.0, jnp.where(mu < 0, 0.0, 0.5)),
+            jnp.clip(hi * inv_L, 0.0, 1.0))
+        return Epos, Eneg, c_pos, c_neg, m2_pos, m2_neg, P_pos
+
     sigma_s = jnp.where(small, 1.0, sigma)
     # |z| capped at 6: the minority stream's weight is already < 1e-9
     # there (pure noise), and the cap keeps the inverse-Mills residuals
@@ -168,8 +259,14 @@ def _axis_streams(mu, m2):
     c_neg = jnp.where(small, mu, mu - sigma * lam_n)
     m2_pos = jnp.where(small, m2, mu * mu + var + mu * sigma * lam_p)
     m2_neg = jnp.where(small, m2, mu * mu + var - mu * sigma * lam_n)
+    # Sign probability P(v > 0) — the COUNT share of the positive-going
+    # sub-population (vs Epos/Eneg, the SPEED-weighted shares).  The
+    # deterministic branch snaps to {0, 1/2, 1} on sign(mu).
+    P_pos = jnp.where(
+        small, jnp.where(mu > 0, 1.0, jnp.where(mu < 0, 0.0, 0.5)), Phi
+    )
     return Epos, Eneg, c_pos, c_neg, jnp.maximum(m2_pos, 0.0), \
-        jnp.maximum(m2_neg, 0.0)
+        jnp.maximum(m2_neg, 0.0), P_pos
 
 
 def _cond_stream(c_own, m2_own, mu_own, mu_t, m2_t, b, var_own):
@@ -211,6 +308,32 @@ def _stream_geom(m2_own, m2_t):
     u_own = jnp.sqrt(zo) * inv_s
     u_t = jnp.sqrt(zt) * inv_s
     return inv_s, u_own, u_t
+
+
+def _trunc_step_moments(m, h, a):
+    """(E[T], Var[T]) of the per-axis crossing time T = min(g/a, sqrt2)
+    with the distance-to-wall g ~ U(max(0, m-h), min(1, m+h)) — the
+    offset-conditional generalization of transport.stepsize_expected/
+    stepsize_var, to which it reduces exactly at (m, h) = (1/2, 1/2).
+
+    Piecewise closed form via the cap threshold g* = sqrt2*a clipped to
+    the support: below g* the time is linear in g, above it the cap
+    binds.  All divisions floored (a <= tiny means the axis barely
+    moves: g* ~ 0 ends up <= lo, the linear branch weight vanishes, and
+    T = sqrt2 exactly — the correct limit)."""
+    lo = jnp.maximum(m - h, 0.0)
+    hi = jnp.minimum(m + h, 1.0)
+    inv_L = 1.0 / jnp.maximum(hi - lo, 1e-6)
+    a_s = jnp.maximum(a, 1e-6)
+    inv_a = 1.0 / a_s
+    gs = jnp.clip(1.4142135623730951 * a_s, lo, hi)
+    w_lin = (gs - lo) * inv_L
+    w_cap = (hi - gs) * inv_L
+    e_lin = 0.5 * (lo + gs) * inv_a
+    e2_lin = (gs * gs + gs * lo + lo * lo) * (inv_a * inv_a) * (1.0 / 3.0)
+    et = w_lin * e_lin + w_cap * 1.4142135623730951
+    et2 = w_lin * e2_lin + w_cap * 2.0
+    return et, jnp.maximum(et2 - et * et, 0.0)
 
 
 def _stream_advance(w1, dL, dvar, ax, ay, mx, my, m2x_, m2y_, mxy_):
@@ -270,12 +393,166 @@ def cohort_round(st, G, aux, rules, Llen, push):
 
     # Directional stream decomposition (split weights + the conditional
     # moments each stream carries).
-    Exp, Exn, cxp, cxn, m2xp, m2xn = _axis_streams(vbx, m2x)
-    Eyp, Eyn, cyp, cyn, m2yp, m2yn = _axis_streams(vby, m2y)
-    denom = Exp + Exn + Eyp + Eyn
-    inv_denom = 1.0 / jnp.where(denom <= 0.0, 1.0, denom)
-    wxp, wxn = Exp * inv_denom, Exn * inv_denom
-    wyp, wyn = Eyp * inv_denom, Eyn * inv_denom
+    Exp, Exn, cxp, cxn, m2xp, m2xn, Pxp = _axis_streams(vbx, m2x)
+    Eyp, Eyn, cyp, cyn, m2yp, m2yn, Pyp = _axis_streams(vby, m2y)
+
+    if _OFFSETS:
+        # Quadrant-offset exit routing.  The reference particle crosses
+        # exactly ONE cell per round in its current direction
+        # (erosion.cu:117-135): the per-round exit flux is COUNT-based
+        # (every alive particle exits), and the exit FACE is determined
+        # by the sub-cell position — t_x = d_x/|vx| vs t_y = d_y/|vy|,
+        # d = distance to the facing wall.  Model: sign-quadrant weights
+        # from the per-axis count probabilities, per-quadrant direction
+        # magnitudes from the truncated conditional means, offsets as
+        # endpoint-anchored uniforms (mean carried, width inferred as
+        # 2*min(m, 1-m)).  Uniform offsets (newborns) give P(x-exit) =
+        # ux/(ux+uy) — exactly the legacy dispersion split — so the
+        # routing only bites where the ensemble is spatially coherent.
+        # Work in DISTANCE-TO-WALL coordinates per sign: g = distance
+        # (in cell units) to the face the quadrant is moving toward, so
+        # all four quadrants share one formula set.  t_x = g_x/|vx|,
+        # t_y = g_y/|vy|; x-exit iff g_y*|vx| > g_x*|vy|.
+        mfx = jnp.clip(st[6] * inv_w, 0.0, 1.0)
+        mfy = jnp.clip(st[7] * inv_w, 0.0, 1.0)
+        # Widths from the carried second moments: a uniform with
+        # variance v has width sqrt(12 v), additionally bounded by the
+        # support constraint 2*min(m, 1-m) (an endpoint-anchored uniform
+        # in [0,1] can be no wider), floored at _OFF_WMIN.  The var clip
+        # bounds sqrt away from 0 so reverse-mode stays finite.
+        vfx = st[8] * inv_w - mfx * mfx
+        vfy = st[9] * inv_w - mfy * mfy
+        vmin = _OFF_WMIN * _OFF_WMIN / 12.0
+
+        def width(v, m):
+            v = jnp.clip(v, vmin, 1.0 / 12.0)
+            wv = jnp.sqrt(12.0 * v)
+            return jnp.maximum(
+                jnp.minimum(wv, 2.0 * jnp.minimum(m, 1.0 - m)), _OFF_WMIN
+            )
+
+        gwx = width(vfx, mfx)
+        gwy = width(vfy, mfy)
+
+        # Speed floor: quadrants whose conditional speed sits at the
+        # floor carry ~zero quadrant weight, so the floor only guards
+        # the division.  It must NOT be denormal-small: reverse-mode
+        # d(x/u)/du = -x/u^2 overflows f32 at u ~ 1e-20 and the clip's
+        # zero cotangent then meets inf as 0*inf = NaN.
+        # Speed floor: quadrants whose conditional speed sits at the
+        # floor carry ~zero quadrant weight, so the floor only guards
+        # the division.  It must NOT be denormal-small: reverse-mode
+        # d(x/u)/du = -x/u^2 overflows f32 at u ~ 1e-20 and the clip's
+        # zero cotangent then meets inf as 0*inf = NaN.
+        tiny = 1e-6
+        uxp_m = jnp.maximum(cxp, tiny)
+        uxn_m = jnp.maximum(-cxn, tiny)
+        uyp_m = jnp.maximum(cyp, tiny)
+        uyn_m = jnp.maximum(-cyn, tiny)
+        hwx, hwy = 0.5 * gwx, 0.5 * gwy
+
+        def quadrant(ux_m, uy_m, mgx, mgy):
+            """One sign quadrant: (P(x-exit), transverse-g mean and
+            variance after an x-exit, own-g mean and variance after a
+            y-exit).
+
+            The exit split treats (g_x, g_y) as independent uniforms
+            (means + widths carried) — margin A over combined width.
+            The pushed offsets are CONDITIONED on the exit branch, each
+            variable truncated against the threshold at the PARTNER'S
+            MEAN: without the conditioning the pushed transverse mean
+            is biased high and the walked slope steepens ~6% on a plane
+            (measured).  The truncation is also what lets widths
+            SHRINK: convergent exits cut the distribution, so the
+            carried variance contracts toward the deterministic DDA
+            staircase.  (A joint-margin form that conditions both
+            pushed distances on the single margin variable
+            M = g_y|vx| - g_x|vy| was tried and REGRESSED coupled noise
+            parity mass rel 0.067 -> 0.75: dividing the conditional
+            margin mean back by one axis speed misassigns the g_x-side
+            variance to the transverse coordinate.)"""
+            A = mgy * ux_m - mgx * uy_m
+            Wu = gwy * ux_m + gwx * uy_m
+            p_x = jnp.clip(0.5 + A / jnp.maximum(Wu, tiny), 0.0, 1.0)
+            # x-exit population: g_y > c_y = (uy/ux)*mgx; afterwards the
+            # remaining y-distance is g_y - c_y (exact when g_x is at
+            # its mean).  The survivor is uniform on [lo_y, mgy + hwy],
+            # variance (hi - lo)^2/12, shift-invariant under the -c_y.
+            c_y = jnp.minimum(mgx * (uy_m / ux_m), 1.0)
+            lo_y = jnp.clip(c_y, mgy - hwy, mgy + hwy)
+            gy_c = 0.5 * (lo_y + mgy + hwy)
+            gy_out = jnp.clip(gy_c - c_y, 0.0, 1.0)
+            v_gy = (mgy + hwy - lo_y) ** 2 * (1.0 / 12.0)
+            # y-exit population: g_x > c_x = (ux/uy)*mgy.
+            c_x = jnp.minimum(mgy * (ux_m / uy_m), 1.0)
+            lo_x = jnp.clip(c_x, mgx - hwx, mgx + hwx)
+            gx_c = 0.5 * (lo_x + mgx + hwx)
+            gx_out = jnp.clip(gx_c - c_x, 0.0, 1.0)
+            v_gx = (mgx + hwx - lo_x) ** 2 * (1.0 / 12.0)
+            return p_x, gy_out, gx_out, v_gy, v_gx
+
+        mgx_p, mgx_n = 1.0 - mfx, mfx
+        mgy_p, mgy_n = 1.0 - mfy, mfy
+        Pxe_pp, gyo_pp, gxo_pp, vy_pp, vx_pp = quadrant(
+            uxp_m, uyp_m, mgx_p, mgy_p)
+        Pxe_pn, gyo_pn, gxo_pn, vy_pn, vx_pn = quadrant(
+            uxp_m, uyn_m, mgx_p, mgy_n)
+        Pxe_np, gyo_np, gxo_np, vy_np, vx_np = quadrant(
+            uxn_m, uyp_m, mgx_n, mgy_p)
+        Pxe_nn, gyo_nn, gxo_nn, vy_nn, vx_nn = quadrant(
+            uxn_m, uyn_m, mgx_n, mgy_n)
+
+        Pxn_, Pyn_ = 1.0 - Pxp, 1.0 - Pyp
+        a_pp, a_pn = Pxp * Pyp, Pxp * Pyn_
+        a_np, a_nn = Pxn_ * Pyp, Pxn_ * Pyn_
+
+        q_pp_x, q_pn_x = a_pp * Pxe_pp, a_pn * Pxe_pn
+        q_np_x, q_nn_x = a_np * Pxe_np, a_nn * Pxe_nn
+        q_pp_y, q_pn_y = a_pp - q_pp_x, a_pn - q_pn_x
+        q_np_y, q_nn_y = a_np - q_np_x, a_nn - q_nn_x
+
+        wxp, wxn = q_pp_x + q_pn_x, q_np_x + q_nn_x
+        wyp, wyn = q_pp_y + q_np_y, q_pn_y + q_nn_y
+
+        # Pushed f-offsets per face (w-normalized payload factors; they
+        # multiply wa below).  Own-axis offset resets to the entry face
+        # (0 for +, 1 for -: deterministic, so its second moment is the
+        # square); transverse g converts back to f per sign with
+        # E[f^2] = mean^2 + branch variance (shift/flip invariant).
+        pay_fx_xp = jnp.zeros_like(w)
+        pay_fx_xn = wxn  # entry at fx = 1
+        pay_fy_xp = q_pp_x * (1.0 - gyo_pp) + q_pn_x * gyo_pn
+        pay_fy_xn = q_np_x * (1.0 - gyo_np) + q_nn_x * gyo_nn
+        pay_fy_yp = jnp.zeros_like(w)
+        pay_fy_yn = wyn  # entry at fy = 1
+        pay_fx_yp = q_pp_y * (1.0 - gxo_pp) + q_np_y * gxo_np
+        pay_fx_yn = q_pn_y * (1.0 - gxo_pn) + q_nn_y * gxo_nn
+        pay_fx2_xp = jnp.zeros_like(w)
+        pay_fx2_xn = wxn
+        pay_fy2_xp = (q_pp_x * ((1.0 - gyo_pp) ** 2 + vy_pp)
+                      + q_pn_x * (gyo_pn ** 2 + vy_pn))
+        pay_fy2_xn = (q_np_x * ((1.0 - gyo_np) ** 2 + vy_np)
+                      + q_nn_x * (gyo_nn ** 2 + vy_nn))
+        pay_fy2_yp = jnp.zeros_like(w)
+        pay_fy2_yn = wyn
+        pay_fx2_yp = (q_pp_y * ((1.0 - gxo_pp) ** 2 + vx_pp)
+                      + q_np_y * (gxo_np ** 2 + vx_np))
+        pay_fx2_yn = (q_pn_y * ((1.0 - gxo_pn) ** 2 + vx_pn)
+                      + q_nn_y * (gxo_nn ** 2 + vx_nn))
+    else:
+        denom = Exp + Exn + Eyp + Eyn
+        inv_denom = 1.0 / jnp.where(denom <= 0.0, 1.0, denom)
+        wxp, wxn = Exp * inv_denom, Exn * inv_denom
+        wyp, wyn = Eyp * inv_denom, Eyn * inv_denom
+        half, third = 0.5, 1.0 / 3.0
+        pay_fx_xp, pay_fx_xn = wxp * half, wxn * half
+        pay_fy_xp, pay_fy_xn = wxp * half, wxn * half
+        pay_fx_yp, pay_fx_yn = wyp * half, wyn * half
+        pay_fy_yp, pay_fy_yn = wyp * half, wyn * half
+        pay_fx2_xp, pay_fx2_xn = wxp * third, wxn * third
+        pay_fy2_xp, pay_fy2_xn = wxp * third, wxn * third
+        pay_fx2_yp, pay_fx2_yn = wyp * third, wyn * third
+        pay_fy2_yp, pay_fy2_yn = wyp * third, wyn * third
 
     # Cross-moment regression coefficients (Cauchy-Schwarz-clamped: f32
     # roundoff and the carried clip can push |cov| past sqrt(varx*vary),
@@ -330,6 +607,30 @@ def cohort_round(st, G, aux, rules, Llen, push):
         w1, facs = rules(dL, inv, safe_w, carried, (ux, uy), aux_tail)
         ph_xp = ph_xn = ph_yp = ph_yn = (dL, dvar, w1, facs)
 
+    if _OFFSETS and _OFFSTEP:
+        # Offset-conditional step moments per face-stream (see _OFFSTEP):
+        # the rules evaluation (attenuation/friction) above keeps its
+        # shared kinematics; only the (dL, Var[dL]) fed to the velocity
+        # advance become stream-specific, killing the per-round variance
+        # ratchet that plumes coherent streams.  The transverse wall
+        # distance mixes the two sign populations by their count shares
+        # (the same independence the quadrant exit split assumes).
+        mty = Pyp * mgy_p + (1.0 - Pyp) * mgy_n
+        mtx = Pxp * mgx_p + (1.0 - Pxp) * mgx_n
+
+        def off_step(m_own, m_t, m2_own, m2_t, h_own, h_t):
+            _, u_own, u_t = _stream_geom(m2_own, m2_t)
+            et_o, vt_o = _trunc_step_moments(m_own, h_own, u_own)
+            et_t, vt_t = _trunc_step_moments(m_t, h_t, u_t)
+            dL_s = 0.5 * (et_o + et_t) * Llen
+            dvar_s = 0.25 * (vt_o + vt_t) * (Llen * Llen)
+            return dL_s, dvar_s
+
+        ph_xp = off_step(mgx_p, mty, m2xp, m2y_xp, hwx, hwy) + ph_xp[2:]
+        ph_xn = off_step(mgx_n, mty, m2xn, m2y_xn, hwx, hwy) + ph_xn[2:]
+        ph_yp = off_step(mgy_p, mtx, m2yp, m2x_yp, hwy, hwx) + ph_yp[2:]
+        ph_yn = off_step(mgy_n, mtx, m2yn, m2x_yn, hwy, hwx) + ph_yn[2:]
+
     # Post-transit moments per stream (each at its own kinematics).
     adv_xp = _stream_advance(ph_xp[2], ph_xp[0], ph_xp[1], axl, ayl,
                              cxp, my_xp, m2xp, m2y_xp, mxy_xp)
@@ -354,6 +655,16 @@ def cohort_round(st, G, aux, rules, Llen, push):
     for q in range(5):
         out.append(push((wxp_a * adv_xp[q], wxn_a * adv_xn[q],
                          wyp_a * adv_yp[q], wyn_a * adv_yn[q])))
+    # Sub-cell offset moments (w-weighted; pay_* already carry the face
+    # weight factor, so they multiply the ALIVE-masked total weight wa).
+    out.append(push((wa * pay_fx_xp, wa * pay_fx_xn,
+                     wa * pay_fx_yp, wa * pay_fx_yn)))
+    out.append(push((wa * pay_fy_xp, wa * pay_fy_xn,
+                     wa * pay_fy_yp, wa * pay_fy_yn)))
+    out.append(push((wa * pay_fx2_xp, wa * pay_fx2_xn,
+                     wa * pay_fx2_yp, wa * pay_fx2_yn)))
+    out.append(push((wa * pay_fy2_xp, wa * pay_fy2_xn,
+                     wa * pay_fy2_yp, wa * pay_fy2_yn)))
 
     # Carried-channel deposits: per-stream per-CLASS attenuated weights
     # (alive-masked), folded once per class and reused across channels.

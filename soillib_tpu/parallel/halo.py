@@ -18,11 +18,34 @@ core/halo.py).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from soillib_tpu.core.halo import Halo
+
+# Trace-time halo-traffic ledger: every exchange_axis call with a real
+# neighbor (n_blocks > 1) adds its per-device ppermute payload here, so
+# the scaling model's communication inputs are MEASURED from the traced
+# program, not assumed (tests/test_parallel.py asserts them).  Reset
+# with `HALO_BYTES.clear()`; entries are (axis_name, bytes_per_device).
+HALO_BYTES = []
+
+def _overlap_enabled() -> bool:
+    """Opt-in interior/boundary-band overlap schedule for the K-blocked
+    paths (see run_cohort).  OFF by default: the band re-computation
+    costs ~4*WINDOW/B of a full pass (WINDOW = the Pallas row window,
+    256) while the exchange it hides is <=1% of pass time at every block
+    size the kernel geometry supports — the analytic model's conclusion,
+    now with its inputs measured via HALO_BYTES.  The schedule exists
+    (a) so the cost/benefit is measurable rather than argued, and (b) as
+    the structural template for the real fix, an in-kernel RDMA pipeline
+    (boundary tiles computed first and sent via async remote copy while
+    interior tiles compute) once multi-chip hardware is available.
+    Read at trace time so tests can toggle it per-call."""
+    return os.environ.get("SOIL_HALO_OVERLAP", "0") == "1"
 
 
 def _fill_slab(slab_like, arr, fill, axis: int, lo: bool, radius: int):
@@ -56,6 +79,10 @@ def exchange_axis(arr, axis_name: str, n_blocks: int, axis: int, fill, radius: i
     if n_blocks > 1:
         fwd = [(i, i + 1) for i in range(n_blocks - 1)]
         bwd = [(i + 1, i) for i in range(n_blocks - 1)]
+        HALO_BYTES.append(
+            (axis_name,
+             (hi_slab.size + lo_slab.size) * hi_slab.dtype.itemsize)
+        )
         from_left = lax.ppermute(hi_slab, axis_name, fwd)
         from_right = lax.ppermute(lo_slab, axis_name, bwd)
         idx = lax.axis_index(axis_name)
@@ -182,20 +209,70 @@ class ShardHalo(Halo):
         ST = st0
         G = jnp.zeros_like(st0[CO.NSTATE:])
         n_full, rem = divmod(int(iters), K)
+        overlap = _overlap_enabled() and bw >= 4 * K and bh >= 4 * K
+
+        def pass_seq(ST, r):
+            """Sequential schedule: exchange, then one padded advance."""
+            STp = self.pad_cf(ST, 0.0, K)
+            stn, gp = advance(STp, auxp, rules, r, Llen)
+            return self.crop_cf(stn, K), self.crop_cf(gp, K)
+
+        def pass_overlap(ST, r):
+            """Interior/boundary-band split (see _OVERLAP).
+
+            The K-round advance of the block INTERIOR needs no fresh
+            halo (the trapezoid argument inset by K), so it carries no
+            data dependency on the ppermute ring — XLA's async
+            collectives can run the exchange under it.  The four
+            boundary bands (3K-wide input strips: K fresh ring + 2K own
+            edge) then advance with the arrived ring and their valid
+            K-wide output frames replace the interior pass's (garbage)
+            frame.  x-bands span all columns and y-bands all rows, so
+            the corner outputs are computed twice from identical inputs
+            (bitwise-equal; either copy may win the paste)."""
+            STp = self.pad_cf(ST, 0.0, K)
+            sti, gi = advance(ST, aux, rules, r, Llen)
+
+            def band(sl_rows, sl_cols, vr, vc):
+                stb, gb = advance(
+                    STp[:, sl_rows, sl_cols], auxp[:, sl_rows, sl_cols],
+                    rules, r, Llen,
+                )
+                return stb[:, vr, vc], gb[:, vr, vc]
+
+            full = slice(K, K + bh)
+            st_xl, g_xl = band(slice(0, 3 * K), slice(None),
+                               slice(K, 2 * K), full)
+            st_xh, g_xh = band(slice(bw - K, bw + 2 * K), slice(None),
+                               slice(K, 2 * K), full)
+            fullr = slice(K, K + bw)
+            st_yl, g_yl = band(slice(None), slice(0, 3 * K),
+                               fullr, slice(K, 2 * K))
+            st_yh, g_yh = band(slice(None), slice(bh - K, bh + 2 * K),
+                               fullr, slice(K, 2 * K))
+
+            def paste(interior, xl, xh, yl, yh):
+                mid = jnp.concatenate(
+                    [yl[:, K:bw - K], interior[:, K:bw - K, K:bh - K],
+                     yh[:, K:bw - K]], axis=2)
+                return jnp.concatenate([xl, mid, xh], axis=1)
+
+            return (paste(sti, st_xl, st_xh, st_yl, st_yh),
+                    paste(gi, g_xl, g_xh, g_yl, g_yh))
+
+        one_pass = pass_overlap if overlap else pass_seq
         if n_full:
             # lax.scan bounds buffer liveness to one pass (see
             # ops/cohort.py cohort_advance).
             def body(carry, _):
                 ST, G = carry
-                STp = self.pad_cf(ST, 0.0, K)
-                stn, gp = advance(STp, auxp, rules, K, Llen)
-                return (self.crop_cf(stn, K), G + self.crop_cf(gp, K)), None
+                stn, gp = one_pass(ST, K)
+                return (stn, G + gp), None
 
             (ST, G), _ = jax.lax.scan(body, (ST, G), None, length=n_full)
         if rem:
-            STp = self.pad_cf(ST, 0.0, K)
-            stn, gp = advance(STp, auxp, rules, rem, Llen)
-            G = G + self.crop_cf(gp, K)
+            _, gp = one_pass(ST, rem)
+            G = G + gp
         return G
 
     def _run_cohort_per_round(self, st0, aux, rules, iters: int, Llen):

@@ -125,7 +125,9 @@ def _cohort_problem(key, C, W, H):
     st0 = jnp.concatenate(
         [jnp.stack([w0, w0 * speed0[0], w0 * speed0[1],
                     w0 * speed0[0] ** 2, w0 * speed0[1] ** 2,
-                    w0 * speed0[0] * speed0[1]], axis=0),
+                    w0 * speed0[0] * speed0[1],
+                    w0 * 0.5, w0 * 0.5,
+                    w0 * (1.0 / 3.0), w0 * (1.0 / 3.0)], axis=0),
          carried0], axis=0)
 
     def rules(dL, inv, w, carried, unit2, aux_tail):
