@@ -310,13 +310,15 @@ def step_bytes_per_cell(iters: int, albedo_on=True) -> float:
     updated deposits (aliased in place), and the scan carry update copies
     the state interior back into the padded buffer (read + write); plus
     ~40 float32 field touches for terms/normalize/transfer/creep."""
-    from soillib_tpu.ops.cohort import NSTATE
-    from soillib_tpu.ops.sweep import HALO_K
-
-    passes = -(-iters // HALO_K)
+    from soillib_tpu.ops.cohort import NSTATE, choose_geometry
 
     def cohort(C, A):
         S = NSTATE + C
+        # K is geometry-dependent now (choose_geometry shrinks the
+        # window — and may shrink K — as the state grows; the round-3
+        # fixed-K model undercounted passes for fat states).
+        k = choose_geometry(S, 3 + A, C).k
+        passes = -(-iters // k)
         per_pass = (S + (3 + A) + C) * 4  # window + old-G reads
         per_pass += (S + C) * 4           # state + deposit write-back
         per_pass += 2 * S * 4             # carry update copy

@@ -243,6 +243,13 @@ def main():
     ap.add_argument("--coupled-nsamples", type=int, default=0,
                     help="particles per coupled step (default W*H*64)")
     ap.add_argument("--terrains", default="ramp,noise,conditioned,steep")
+    ap.add_argument("--nodes", type=int, default=1,
+                    help="face-routed mixture nodes (quality mode; "
+                         "CohortClosure.nodes)")
+    ap.add_argument("--colors", type=int, default=1,
+                    help="colored birth sub-ensembles (quality mode; "
+                         "CohortClosure.colors)")
+    ap.add_argument("--color-rule", default="hash", choices=("hash", "dir"))
     ap.add_argument("--skip-coupled", action="store_true")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu", action="store_true")
@@ -268,10 +275,16 @@ def main():
     param.transportIterations = args.maxage - 2
     param.nSamples = args.nsamples or size * size * 16
     param.timeStep = 500.0  # visible terrain change within few steps
+    if args.nodes > 1 or args.colors > 1:
+        from soillib_tpu.ops.cohort import CohortClosure
+
+        param.closure = CohortClosure(nodes=args.nodes, colors=args.colors,
+                                      color_rule=args.color_rule)
 
     terrains = make_terrains(size, tuple(args.terrains.split(",")))
     report = {"config": {k: getattr(args, k) for k in
-                         ("size", "seeds", "maxage", "steps")},
+                         ("size", "seeds", "maxage", "steps",
+                          "nodes", "colors")},
               "nsamples": param.nSamples}
 
     for tname, terr in terrains.items():

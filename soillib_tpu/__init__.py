@@ -49,6 +49,7 @@ from soillib_tpu.ops.noise import noise, noise_t
 from soillib_tpu.ops.condition import condition, fill_depressions
 from soillib_tpu.ops.resize import resize, copy
 from soillib_tpu.ops.transport import solve_uniform
+from soillib_tpu.ops.cohort import CohortClosure
 from soillib_tpu.models.params import ErosionParams, param_t
 from soillib_tpu.models.erosion import (
     albedo_discharge,

@@ -56,12 +56,13 @@ class Halo:
         Sharded: K-blocked ppermute halo exchange."""
         raise NotImplementedError
 
-    def run_cohort(self, st0, aux, rules, iters: int, Llen):
+    def run_cohort(self, st0, aux, rules, iters: int, Llen, closure=None):
         """`iters` rounds of the age-structured cohort sweep (nonlinear
         per-particle state transport, ops/cohort.py) -> (C, W, H)
         deposits. Single-device: the temporally-blocked Pallas cohort
         kernel on TPU. Sharded: K-blocked ppermute exchange of the
-        cohort state."""
+        cohort state. `closure` is an ops.cohort.CohortClosure (None ->
+        the SOIL_COHORT_* env defaults)."""
         raise NotImplementedError
 
 
@@ -88,10 +89,10 @@ class NoHalo(Halo):
 
         return sweep.run_transport(E, att, vx, vy, iters)
 
-    def run_cohort(self, st0, aux, rules, iters: int, Llen):
+    def run_cohort(self, st0, aux, rules, iters: int, Llen, closure=None):
         from soillib_tpu.ops import cohort
 
-        return cohort.run_cohort(st0, aux, rules, iters, Llen)
+        return cohort.run_cohort(st0, aux, rules, iters, Llen, closure)
 
 
 NO_HALO = NoHalo()

@@ -43,6 +43,13 @@ class geotiff_meta:
     coords: list = dataclasses.field(default_factory=lambda: [0.0] * 6)
     params: list = dataclasses.field(default_factory=list)
     keydir: list = dataclasses.field(default_factory=list)
+    # Matrix georeferencing (present INSTEAD of the tie-point/scale pair
+    # in some products): the 4x4 GeoTransMatrix (tag 34264, 16 doubles)
+    # and the legacy Intergraph matrix (tag 33920). Loaded and re-emitted
+    # verbatim so matrix-only GeoTIFFs keep their projection through a
+    # read -> write cycle (io/geotiff.hpp:12-50, write-back :194-241).
+    matrix: list = dataclasses.field(default_factory=list)
+    intergraph: list = dataclasses.field(default_factory=list)
 
     # legacy binding alias (io.cpp:87)
     @property
@@ -113,6 +120,10 @@ class geotiff(tiff):
             m.params = list(tags[TAG_GEODOUBLEPARAMS])
         if TAG_GEOKEYDIRECTORY in tags:
             m.keydir = list(tags[TAG_GEOKEYDIRECTORY])
+        if TAG_GEOTRANSMATRIX in tags:
+            m.matrix = list(tags[TAG_GEOTRANSMATRIX])
+        if TAG_INTERGRAPH_MATRIX in tags:
+            m.intergraph = list(tags[TAG_INTERGRAPH_MATRIX])
 
     def _extra_tags(self):
         """Re-emit all geo tags on write (io/geotiff.hpp:210-226)."""
@@ -126,6 +137,10 @@ class geotiff(tiff):
             tags.append((TAG_GEODOUBLEPARAMS, tiffcore.T_DOUBLE, tuple(m.params)))
         if m.keydir:
             tags.append((TAG_GEOKEYDIRECTORY, tiffcore.T_SHORT, tuple(int(k) for k in m.keydir)))
+        if m.matrix:
+            tags.append((TAG_GEOTRANSMATRIX, tiffcore.T_DOUBLE, tuple(m.matrix)))
+        if m.intergraph:
+            tags.append((TAG_INTERGRAPH_MATRIX, tiffcore.T_DOUBLE, tuple(m.intergraph)))
         if m.gdal_nodata:
             tags.append((TAG_GDAL_NODATA, tiffcore.T_ASCII, m.gdal_nodata))
         if m.gdal_metadata:

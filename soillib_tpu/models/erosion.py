@@ -190,6 +190,91 @@ def _cohort_state(w0, speed0, carried0):
             w0 * (1.0 / 3.0), w0 * (1.0 / 3.0)) + tuple(carried0)
 
 
+def _color_masks(M, rule, speed, shape, halo=NO_HALO):
+    """Disjoint {0,1} birth-partition masks for the colored sub-ensemble
+    quality mode (ops/cohort.py CohortClosure.colors); masks sum to 1.
+
+    "dir": birth-velocity angle sectors, rotated half a bin so the M=2/4
+    boundaries don't sit ON the axis directions (where most of a rough
+    terrain's cells point).  "hash": Knuth-mix of the GLOBAL cell index
+    (shard-invariant), the split-ensemble study's origin-decorrelated
+    partition."""
+    W, H = shape
+    if rule == "dir":
+        theta = jnp.arctan2(speed[1], speed[0])  # (-pi, pi]
+        sect = jnp.floor((theta + jnp.pi) * (M / (2.0 * jnp.pi)) + 0.5)
+        idx = sect.astype(jnp.int32) % M
+    elif rule == "hash":
+        x0, y0, _, Hg = halo.global_offsets((W, H))
+        gx = x0 + jnp.arange(W, dtype=jnp.uint32)[:, None]
+        gy = y0 + jnp.arange(H, dtype=jnp.uint32)[None, :]
+        h = (gx * jnp.uint32(Hg) + gy) * jnp.uint32(2654435761)
+        h = (h ^ (h >> 16)) * jnp.uint32(2246822519)
+        idx = ((h ^ (h >> 13)) % jnp.uint32(M)).astype(jnp.int32)
+        idx = jnp.broadcast_to(idx, (W, H))
+    else:
+        raise ValueError(f"unknown color_rule: {rule!r}")
+    return [jnp.where(idx == m, 1.0, 0.0) for m in range(M)]
+
+
+def _node_masks(nnodes, speed):
+    """Birth-node assignment for the face-routed N-node mixture
+    (CohortClosure.nodes): a newborn cohort joins the node of the face
+    its velocity points toward, matching the node order of
+    ops/cohort.py `_cohort_round_nodes` ([+x, -x, +y, -y]; nodes=2
+    pools the signs per axis)."""
+    ax_, ay_ = jnp.abs(speed[0]), jnp.abs(speed[1])
+    isx = ax_ >= ay_
+    if nnodes == 2:
+        mx = jnp.where(isx, 1.0, 0.0)
+        return [mx, 1.0 - mx]
+    if nnodes == 4:
+        xpos = speed[0] >= 0.0
+        ypos = speed[1] >= 0.0
+        return [jnp.where(isx & xpos, 1.0, 0.0),
+                jnp.where(isx & ~xpos, 1.0, 0.0),
+                jnp.where(~isx & ypos, 1.0, 0.0),
+                jnp.where(~isx & ~ypos, 1.0, 0.0)]
+    raise ValueError(f"nodes must be 1, 2 or 4, got {nnodes}")
+
+
+def _build_cohort_state(w0, speed, carried0, closure):
+    """Initial cohort state channels, node-split when the closure asks
+    for the N-node mixture (every channel carries a w0 factor, so node
+    masking is a per-channel multiply)."""
+    nnodes = int(getattr(closure, "nodes", 1) or 1) if closure else 1
+    if nnodes <= 1:
+        return _cohort_state(w0, speed, carried0)
+    chans = ()
+    for mk in _node_masks(nnodes, speed):
+        chans += _cohort_state(w0 * mk, speed, [c * mk for c in carried0])
+    return chans
+
+
+def _run_cohort_colored(halo, w0, speed, carried0, aux, rules, iters,
+                        Llen, closure):
+    """Cohort solve, optionally split into `closure.colors` disjoint
+    birth sub-populations whose deposits sum (transport is linear in
+    sources — identical physics, finer mixture representation; see
+    CohortClosure.colors). Every state channel carries a w0 factor, so
+    masking the births is a per-channel multiply."""
+    from soillib_tpu.ops.cohort import ENV_CLOSURE
+
+    cl = closure or ENV_CLOSURE
+    M = int(getattr(cl, "colors", 1) or 1)
+    if M <= 1:
+        st0 = _build_cohort_state(w0, speed, carried0, cl)
+        return halo.run_cohort(st0, aux, rules, iters, Llen, closure)
+    masks = _color_masks(M, cl.color_rule, speed, w0.shape, halo)
+    G = None
+    for mk in masks:
+        st0 = _build_cohort_state(w0 * mk, speed,
+                                  [c * mk for c in carried0], cl)
+        g = halo.run_cohort(st0, aux, rules, iters, Llen, closure)
+        G = g if G is None else G + g
+    return G
+
+
 # ---------------------------------------------------------------------------
 # Fluvial transport
 # ---------------------------------------------------------------------------
@@ -412,7 +497,6 @@ def _fluvial_cohort(t, rainfall, discharge, p, iters, halo=NO_HALO):
                 bd * t["E_v"][1]]
     if t["E_a"] is not None:
         carried0 += [bd * t["E_a"][0], bd * t["E_a"][1], bd * t["E_a"][2]]
-    st0 = _cohort_state(bd, speed, carried0)
     # Static per-cell momentum-decay rate (the expression the rules used
     # to evaluate per round; bitwise-identical hoist — see make_fluvial_
     # rules).
@@ -421,7 +505,8 @@ def _fluvial_cohort(t, rainfall, discharge, p, iters, halo=NO_HALO):
         -Llen * 0.125 * fD / (_EPS + discharge), -_RATE_CLIP, 0.0
     )
     aux = (accel[0], accel[1], jnp.ones_like(discharge), rate_v)
-    return halo.run_cohort(st0, aux, rules, iters, Llen)
+    return _run_cohort_colored(halo, bd, speed, carried0, aux, rules,
+                               iters, Llen, p.closure)
 
 
 def _fluvial_field(t, discharge, p, iters, halo=NO_HALO):
@@ -726,11 +811,11 @@ def transport_debris(
         carried0 = [w0 * E_d, w0 * E_v[0], w0 * E_v[1]]
         if E_a is not None:
             carried0 += [w0 * E_a[0], w0 * E_a[1], w0 * E_a[2]]
-        st0 = _cohort_state(w0, speed, carried0)
         # aux = (accel, domain mask (ones; zero-padding kills escapees),
         #        rules aux...) — see ops/cohort.py layout.
         aux = (accel[0], accel[1], jnp.ones_like(excess0), excess0)
-        Gcf = halo.run_cohort(st0, aux, rules, iters, Llen)
+        Gcf = _run_cohort_colored(halo, w0, speed, carried0, aux, rules,
+                                  iters, Llen, p.closure)
     elif method == "particles":
         if halo is not NO_HALO:
             raise NotImplementedError(

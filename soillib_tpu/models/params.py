@@ -84,6 +84,13 @@ class ErosionParams:
     # Honored by the field/cohort transports and mass_transfer; the
     # particle estimator always tracks.
     trackAlbedo: bool = True
+    # Cohort-closure configuration (ops/cohort.py CohortClosure) for the
+    # default `method="field"` transports; None -> the process default
+    # (the SOIL_COHORT_* env vars). Set it here — not via env — when
+    # comparing closure variants in one process: the frozen dataclass is
+    # hashable and enters the jit cache key through `.freeze()`, while
+    # env toggles do not.
+    closure: object = None
 
     def __setattr__(self, name, value):
         name = _ALIASES.get(name, name)

@@ -39,6 +39,7 @@ into its push weights once per class instead of once per channel.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 
 import jax
@@ -46,14 +47,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from soillib_tpu.ops.sweep import (
-    HALO_K,
-    SX,
-    SY,
-    TILE_X,
-    TILE_Y,
-    _YPAD_R,
-)
 from soillib_tpu.ops.transport import stepsize_expected, stepsize_var
 
 _EPS = 1e-12
@@ -79,48 +72,236 @@ _EPS = 1e-12
 # stream to ~4x the MC footprint; /tmp one-stream census).
 NSTATE = 10
 
-# Closure toggles (trace-time constants; env-overridable for ablation
-# studies — benchmarks/parity.py):
-#  * XMOM: condition each directional stream's TRANSVERSE velocity
-#    moments on the stream via the E[vx*vy] cross-moment regression
-#    (off: streams carry the unconditional transverse moments).
-#  * PERSTREAM: evaluate the step rule and the attenuation physics per
-#    directional stream — each stream's own crossing distance, RMS speed,
-#    friction weight and transit factors (off: one shared evaluation at
-#    the cell's pooled dispersion-weighted direction and RMS speed).
-# Both default OFF: measured against the converged-MC oracle
-# (benchmarks/parity.py, noise terrain) neither moves the rough-terrain
-# discharge correlation (~0.70 in every variant) and XMOM trades mass
-# rel_mean for corr; the cross-moment channel is still carried so the
-# ablations stay one env var away.  See RESULTS.md closure study.
-_XMOM = os.environ.get("SOIL_COHORT_XMOM", "0") == "1"
-_PERSTREAM = os.environ.get("SOIL_COHORT_PERSTREAM", "0") == "1"
+@dataclasses.dataclass(frozen=True)
+class CohortClosure:
+    """Trace-time closure configuration (hashable; enters jit cache keys
+    via `ErosionParams.freeze()` — env toggles alone would NOT, the
+    round-3 footgun for in-process variant comparisons).
 
-#  * VDIST: per-axis velocity marginal family for the directional
-#    stream decomposition — "uniform" (bounded support; zero backward
-#    leakage for coherent streams) or "gauss" (truncated-Gaussian,
-#    the round-2 closure).  See _axis_streams.
-_VDIST = os.environ.get("SOIL_COHORT_VDIST", "gauss")
+    Fields (ablation studies: benchmarks/parity.py, RESULTS.md):
+      * offsets: route the exit-face split through the carried sub-cell
+        position offsets (quadrant-count-based DDA walk; see
+        cohort_round). Uniform offsets reduce to the legacy dispersion
+        split, so this only changes behavior where the ensemble is
+        spatially coherent — which is exactly where the legacy split's
+        per-round Bernoulli exit smears thin streams laterally.
+      * offstep: offset-conditional crossing-distance moments. The
+        legacy stepsize_expected/var assume a UNIFORM within-cell
+        position every round — re-injecting Var[dL]*a^2 of velocity
+        variance per transit even into a spatially coherent stream;
+        that variance ratchet turns a single point-source stream into
+        an ~8-cell-wide plume (measured: visit ratio 1.73x, corr 0.39
+        vs the MC stream's 1-cell path). With offstep the step moments
+        are taken over the CARRIED offset distribution (mean + inferred
+        width), which reduces exactly to the legacy formulas for
+        uniform offsets (newborns) and collapses Var[dL] -> O(width^2)
+        for coherent streams. Only active together with `offsets`.
+      * vdist: per-axis velocity marginal family for the directional
+        stream decomposition — "gauss" (truncated-Gaussian, the
+        default/headline closure) or "uniform" (bounded support; zero
+        backward leakage for coherent streams). See _axis_streams.
+      * xmom: condition each directional stream's TRANSVERSE velocity
+        moments on the stream via the E[vx*vy] cross-moment regression
+        (off: streams carry the unconditional transverse moments).
+      * perstream: evaluate the step rule and the attenuation physics
+        per directional stream — each stream's own crossing distance,
+        RMS speed, friction weight and transit factors (off: one shared
+        evaluation at the cell's pooled dispersion-weighted direction
+        and RMS speed). xmom/perstream default OFF: measured against
+        the converged-MC oracle neither moves rough-terrain discharge
+        correlation (~0.70 in every variant) and xmom trades mass
+        rel_mean for corr; the cross-moment channel is still carried so
+        the ablations stay one flag away.
+    """
 
-#  * OFFSTEP: offset-conditional crossing-distance moments.  The legacy
-#    stepsize_expected/var assume a UNIFORM within-cell position every
-#    round — re-injecting Var[dL]*a^2 of velocity variance per transit
-#    even into a spatially coherent stream.  That variance ratchet is
-#    what turns a single point-source stream into an ~8-cell-wide plume
-#    (measured: visit ratio 1.73x, corr 0.39 vs the MC stream's 1-cell
-#    path).  With OFFSTEP the step moments are taken over the CARRIED
-#    offset distribution (mean + inferred width), which reduces exactly
-#    to the legacy formulas for uniform offsets (newborns) and collapses
-#    Var[dL] -> O(width^2) for coherent streams.
-_OFFSTEP = os.environ.get("SOIL_COHORT_OFFSTEP", "1") == "1"
+    offsets: bool = True
+    offstep: bool = True
+    vdist: str = "gauss"
+    xmom: bool = False
+    perstream: bool = False
+    # Colored sub-ensembles (quality mode): partition the BIRTHS into
+    # `colors` disjoint sub-populations and transport each through its
+    # own full moment state, summing deposits.  Transport is linear in
+    # sources, so colors > 1 changes no physics — it only refines the
+    # mixture representation: the measured residual of the closure is
+    # NOT per-stream kinematics (an isolated cohort reproduces the MC
+    # stream cell-for-cell, RESULTS.md) but the pooling of CO-LOCATED
+    # cohorts from different origins into one 10-moment ensemble
+    # (split-ensemble study: warm-noise discharge corr 0.78 at 1 color
+    # -> 0.92 at 64).  Cost is ~linear in `colors` (M full solves).
+    # `color_rule` assigns births to colors:
+    #   * "dir":  by birth-velocity angle sector — separates exactly the
+    #     streams that later merge at confluences from different
+    #     directions (the mixtures the moment state represents worst).
+    #   * "hash": spatial hash of the global birth cell (the
+    #     split-ensemble study's partition; origin-decorrelated).
+    colors: int = 1
+    color_rule: str = "dir"
+    # N-node face-routed mixture (quality mode): the state carries
+    # `nodes` independent full ensembles per cell and arrivals are
+    # routed to a node by ENTRY FACE (nodes=2: x-crossers vs y-crossers;
+    # nodes=4: one per face).  Unlike `colors` (a birth partition), this
+    # separates exactly the populations the pooled closure represents
+    # worst — streams merging at a confluence from different directions
+    # — and re-pools them automatically once relaxation aligns their
+    # velocities.  State and round cost scale ~linearly with `nodes`.
+    # See _cohort_round_nodes.
+    nodes: int = 1
 
-#  * OFFSETS: route the exit-face split through the carried sub-cell
-#    position offsets (quadrant-count-based DDA walk; see cohort_round).
-#    Uniform offsets reduce to the legacy dispersion split, so this only
-#    changes behavior where the ensemble is spatially coherent — which
-#    is exactly where the legacy split's per-round Bernoulli exit smears
-#    thin streams laterally.
-_OFFSETS = os.environ.get("SOIL_COHORT_OFFSETS", "1") == "1"
+
+def _env_closure() -> CohortClosure:
+    """Process-default closure from the SOIL_COHORT_* env vars (ablation
+    back-compat; prefer `ErosionParams.closure` which enters jit keys)."""
+    return CohortClosure(
+        offsets=os.environ.get("SOIL_COHORT_OFFSETS", "1") == "1",
+        offstep=os.environ.get("SOIL_COHORT_OFFSTEP", "1") == "1",
+        vdist=os.environ.get("SOIL_COHORT_VDIST", "gauss"),
+        xmom=os.environ.get("SOIL_COHORT_XMOM", "0") == "1",
+        perstream=os.environ.get("SOIL_COHORT_PERSTREAM", "0") == "1",
+        colors=int(os.environ.get("SOIL_COHORT_COLORS", "1")),
+        color_rule=os.environ.get("SOIL_COHORT_COLOR_RULE", "dir"),
+        nodes=int(os.environ.get("SOIL_COHORT_NODES", "1")),
+    )
+
+
+ENV_CLOSURE = _env_closure()
+
+
+# ---------------------------------------------------------------------------
+# Kernel window geometry (S-dependent: the round-3 NSTATE growth 6 -> 10
+# exceeded Mosaic's VMEM at the fixed S=13-tuned geometry and crashed the
+# 4096² bench — geometry is now chosen per channel count under an explicit
+# budget, with env overrides for tuning sweeps).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class CohortGeometry:
+    """Temporal-blocking window geometry for the cohort kernel.
+
+    Same Mosaic alignment rules as ops/sweep.py: sx/sy are DMA slice
+    SIZES and must be (8, 128)-aligned; tile offsets i*tile_x / j*tile_y
+    stay aligned because tile_x % 8 == 0 and tile_y % 128 == 0.
+    """
+
+    k: int = 16        # rounds per HBM pass == halo ring width
+    sx: int = 256      # row window (8-mult)
+    sy: int = 640      # col window (128-mult)
+    tile_y: int = 512  # output tile cols (128-mult)
+
+    @property
+    def tile_x(self) -> int:
+        return self.sx - 2 * self.k
+
+    @property
+    def ypad_r(self) -> int:
+        return self.sy - self.tile_y - self.k
+
+    def validate(self) -> "CohortGeometry":
+        assert self.k >= 1, "cohort K must be >= 1"
+        assert self.sx % 8 == 0 and self.sy % 128 == 0, \
+            "window sizes must be (8, 128)-aligned Mosaic DMA slices"
+        assert self.tile_x > 0 and self.tile_x % 8 == 0
+        assert self.tile_y % 128 == 0
+        assert self.tile_y + 2 * self.k <= self.sy, \
+            "col window too small for tile + 2K halo"
+        return self
+
+
+# Budget the auto-chooser fits under. The v5e/v6 VMEM is 128 MiB; Mosaic
+# reserves some for itself and the scheduler's scoped temporaries beyond
+# the model below, so the target leaves headroom. (The round-3 crash:
+# S=17 at the S=13-tuned 256x640 window demanded > 120 MiB of scoped
+# VMEM at 4096².)
+VMEM_BUDGET_BYTES = 100 * 1024 * 1024
+
+# Round-body liveness model, in live (sx, sy) f32 buffers: the fori_loop
+# carry (st, G) is double-buffered by the scheduler, the arrivals stack
+# plus the pre-stack channel list coexist at the round tail, and the
+# closure arithmetic holds a pool of temporaries whose size was
+# CALIBRATED against real Mosaic compiles on TPU v5e (see
+# tests/test_kernel_budget.py and RESULTS.md): the offsets closure round
+# body compiles at geometries the model admits and VMEM-faults at ones
+# it rejects, with the pool constants below.
+_TEMP_POOL_OFFSETS = 48   # quadrant/offset closure temporaries
+_TEMP_POOL_LEGACY = 24    # dispersion-split closure temporaries
+
+
+def cohort_vmem_bytes(S, A, C, geom: CohortGeometry,
+                      closure: CohortClosure | None = None) -> int:
+    """Modeled peak VMEM (bytes) of `_cohort_call` at channel counts
+    (S state, A aux, C deposit) and window geometry `geom` — static
+    scratch shapes plus the round-body liveness model above. The static
+    part is exact (it mirrors `scratch_shapes`); the body part is the
+    calibrated estimate that keeps geometry choices off-TPU-testable."""
+    closure = closure or ENV_CLOSURE
+    f = 4  # f32
+    win = geom.sx * geom.sy
+    tile = geom.tile_x * geom.tile_y
+    static = f * (
+        2 * S * win          # double-buffered state windows
+        + 2 * A * win        # double-buffered aux windows
+        + 2 * C * tile       # old-G tiles
+        + S * tile           # state-out tile
+        + C * tile           # new-G tile
+    )
+    pool = _TEMP_POOL_OFFSETS if closure.offsets else _TEMP_POOL_LEGACY
+    # The N-node mixture advances its node payload generators in
+    # lockstep, so every node's round-body intermediates are live at
+    # once.
+    pool *= max(1, int(getattr(closure, "nodes", 1) or 1))
+    live = 2 * (S + C) + 2 * S + C + pool
+    return static + f * live * win
+
+
+def choose_geometry(S, A, C, closure: CohortClosure | None = None,
+                    budget: int = VMEM_BUDGET_BYTES) -> CohortGeometry:
+    """Largest-efficiency window geometry that fits the VMEM budget at
+    the given channel counts. Efficiency = tile area / window area (the
+    halo ring plus lane slack are computed and thrown away every round;
+    the kernel is VPU-issue-bound, so wasted fraction ≈ wasted time).
+    Env overrides SOIL_COHORT_{K,SX,SY,TY} pin any subset of the fields
+    (the rest stay auto)."""
+    env = {
+        name: int(v)
+        for name, v in (
+            ("k", os.environ.get("SOIL_COHORT_K")),
+            ("sx", os.environ.get("SOIL_COHORT_SX")),
+            ("sy", os.environ.get("SOIL_COHORT_SY")),
+            ("ty", os.environ.get("SOIL_COHORT_TY")),
+        )
+        if v is not None
+    }
+    best = None
+    ks = (env["k"],) if "k" in env else (16, 8)
+    for k in ks:
+        tys = (env["ty"],) if "ty" in env else (768, 640, 512, 384, 256, 128)
+        for ty in tys:
+            sy = env.get("sy", ty + 128)
+            sxs = (env["sx"],) if "sx" in env else (
+                512, 448, 384, 320, 256, 224, 192, 160, 128, 96, 64)
+            for sx in sxs:
+                if sx - 2 * k <= 0 or ty + 2 * k > sy:
+                    continue
+                g = CohortGeometry(k=k, sx=sx, sy=sy, tile_y=ty)
+                try:
+                    g.validate()
+                except AssertionError:
+                    continue
+                if cohort_vmem_bytes(S, A, C, g, closure) > budget:
+                    continue
+                eff = (g.tile_x * ty) / (sx * sy)
+                # Prefer efficiency; tie-break toward larger K (fewer
+                # HBM passes) then larger windows (fewer grid tiles).
+                key = (eff, k, sx * sy)
+                if best is None or key > best[0]:
+                    best = (key, g)
+    if best is None:
+        raise ValueError(
+            f"no cohort window geometry fits S={S}, A={A}, C={C} under "
+            f"{budget} bytes of VMEM — use the jnp reference path"
+        )
+    return best[1]
 
 # Inferred-width floor for the offset distributions: one-sided-cut
 # populations are endpoint-anchored uniforms whose width is exactly
@@ -183,7 +364,7 @@ def _norm_cdf(z, gauss):
     return 0.5 * (1.0 + erf_z)
 
 
-def _axis_streams(mu, m2):
+def _axis_streams(mu, m2, vdist="gauss"):
     """Directional decomposition of a per-axis velocity ensemble with
     mean mu and raw second moment m2 into its positive- and negative-
     going streams.
@@ -196,8 +377,10 @@ def _axis_streams(mu, m2):
     every round. sigma -> 0 collapses everything onto the deterministic
     single-direction particle.
 
-    Two marginal families (SOIL_COHORT_VDIST):
-      * "uniform" (default): v ~ U[mu - sqrt(3) sigma, mu + sqrt(3) sigma]
+    Two marginal families (CohortClosure.vdist):
+      * "gauss" (default; the headline closure — RESULTS.md):
+        truncated-Gaussian conditioning.
+      * "uniform": v ~ U[mu - sqrt(3) sigma, mu + sqrt(3) sigma]
         — BOUNDED support.  The reference particle's velocity relaxes
         toward the local gradient (erosion.cu:124-136) and a coherent
         downslope ensemble has NO backward-moving members; the Gaussian
@@ -206,13 +389,12 @@ def _axis_streams(mu, m2):
         residence time (census: 1.175x total interior deposits at
         evap=0).  For mu > sqrt(3) sigma the uniform family's backward
         weight is exactly 0.  Also transcendental-free (no exp/erf).
-      * "gauss": truncated-Gaussian conditioning (round-2 closure).
     """
     var = jnp.maximum(m2 - mu * mu, 0.0)
     small = var <= 1e-12 * jnp.maximum(m2, _EPS)
     sigma = jnp.where(small, 0.0, jnp.sqrt(jnp.where(small, 1.0, var)))
 
-    if _VDIST == "uniform":
+    if vdist == "uniform":
         # Support [lo, hi], half-width sqrt(3) sigma, length L = hi - lo.
         s3 = 1.7320508075688772 * sigma
         lo, hi = mu - s3, mu + s3
@@ -300,13 +482,23 @@ def _stream_geom(m2_own, m2_t):
     """Per-stream kinematics from the stream's raw second moments:
     (1/RMS-speed, own-axis direction cosine, transverse cosine) with
     u_own² = m2_own / (m2_own + m2_t) — RMS components, exact in the
-    deterministic limit."""
+    deterministic limit.
+
+    Every sqrt/rsqrt is double-where'd: still cells and dead streams hit
+    m2 == 0 exactly, where d sqrt(x) = inf and a downstream zero mask
+    turns it into 0*inf = NaN in reverse mode (this was the round-3
+    all-NaN-gradient regression — the offset-conditional step path is the
+    only caller with OFFSETS on). Primals are bitwise unchanged."""
     zo = jnp.maximum(m2_own, 0.0)
     zt = jnp.maximum(m2_t, 0.0)
     s2 = zo + zt
-    inv_s = jax.lax.rsqrt(jnp.maximum(s2, _EPS * _EPS))
-    u_own = jnp.sqrt(zo) * inv_s
-    u_t = jnp.sqrt(zt) * inv_s
+    dead = s2 <= _EPS * _EPS
+    inv_s = jnp.where(dead, 1.0 / _EPS,
+                      jax.lax.rsqrt(jnp.where(dead, 1.0, s2)))
+    zo_z = zo <= 0.0
+    zt_z = zt <= 0.0
+    u_own = jnp.where(zo_z, 0.0, jnp.sqrt(jnp.where(zo_z, 1.0, zo))) * inv_s
+    u_t = jnp.where(zt_z, 0.0, jnp.sqrt(jnp.where(zt_z, 1.0, zt))) * inv_s
     return inv_s, u_own, u_t
 
 
@@ -354,11 +546,89 @@ def _stream_advance(w1, dL, dvar, ax, ay, mx, my, m2x_, m2y_, mxy_):
     return vox, voy, m2xo, m2yo, mxyo
 
 
-def cohort_round(st, G, aux, rules, Llen, push):
+def cohort_round(st, G, aux, rules, Llen, push, closure=None):
     """One cohort transit: mix -> particle-state step -> push -> deposit.
 
     Shared verbatim by the jnp reference loop, the Pallas kernel and the
     sharded block advance, so all three stay numerically identical.
+
+    The physics per ensemble lives in `_round_payloads`; this assembles
+    the pushed arrivals — for the default single-node closure each
+    channel's four directional payloads merge into one ensemble; for
+    `closure.nodes` in (2, 4) arrivals are routed into separate
+    sub-ensembles by ENTRY FACE (see _cohort_round_nodes)."""
+    cl = closure or ENV_CLOSURE
+    nnodes = int(getattr(cl, "nodes", 1) or 1)
+    if nnodes > 1:
+        return _cohort_round_nodes(st, G, aux, rules, Llen, push, cl,
+                                   nnodes)
+    out = [push(t) for t in _round_payloads(st, aux, rules, Llen, cl)]
+    arrivals = jnp.stack(out, axis=0)
+    return arrivals, G + arrivals[NSTATE:]
+
+
+def _cohort_round_nodes(st, G, aux, rules, Llen, push, cl, nnodes):
+    """N-node mixture transit: the state carries `nnodes` independent
+    full ensembles per cell ([node0 moments+carried, node1 ...]) and
+    arrivals are routed to a node by the face they entered through —
+    nodes=2 separates x-crossers from y-crossers, nodes=4 every face.
+
+    This is the mixture-representation fix the split-ensemble study
+    scoped (RESULTS.md): the closure's measured residual is pooling
+    CO-LOCATED cohorts from different origins into one 10-moment
+    ensemble, and the worst such mixtures are confluences — streams
+    merging from DIFFERENT directions.  Face routing keeps exactly those
+    populations separate while their velocities differ, and re-pools
+    them (into the same entry node) once relaxation has aligned them —
+    when pooling is cheap.  Deposits sum over nodes; each node advances
+    with the identical single-ensemble physics, so an axis-aligned flow
+    (only x faces used) is node-count-invariant to f32 roundoff (the
+    quadrant speed floor leaks ~1e-7 of exit weight to the transverse
+    faces, which lands in the other node instead of merging back)."""
+    S = st.shape[0]
+    P = S // nnodes
+    Z = jnp.zeros_like(st[0])
+    gens = [
+        _round_payloads(st[j * P:(j + 1) * P], aux, rules, Llen, cl)
+        for j in range(nnodes)
+    ]
+    outs = [[] for _ in range(nnodes)]
+    for ts in zip(*gens):
+        xp = ts[0][0]
+        xn = ts[0][1]
+        yp = ts[0][2]
+        yn = ts[0][3]
+        for t in ts[1:]:
+            xp = xp + t[0]
+            xn = xn + t[1]
+            yp = yp + t[2]
+            yn = yn + t[3]
+        if nnodes == 2:
+            outs[0].append(push((xp, xn, Z, Z)))
+            outs[1].append(push((Z, Z, yp, yn)))
+        elif nnodes == 4:
+            outs[0].append(push((xp, Z, Z, Z)))
+            outs[1].append(push((Z, xn, Z, Z)))
+            outs[2].append(push((Z, Z, yp, Z)))
+            outs[3].append(push((Z, Z, Z, yn)))
+        else:
+            raise ValueError(f"nodes must be 1, 2 or 4, got {nnodes}")
+    arrivals = jnp.stack([c for o in outs for c in o], axis=0)
+    dep = jnp.stack(outs[0][NSTATE:], axis=0)
+    for j in range(1, nnodes):
+        dep = dep + jnp.stack(outs[j][NSTATE:], axis=0)
+    return arrivals, G + dep
+
+
+def _round_payloads(st, aux, rules, Llen, cl):
+    """Pre-shift directional payloads of one ensemble's transit round.
+
+    Yields, for each output channel in state-layout order (NSTATE moment
+    channels, then the carried-total deposits), the 4-tuple of payloads
+    pushed toward (+x, -x, +y, -y).  A generator so the consumer pushes
+    each channel as it is produced — the channel-wise peak-VMEM
+    discipline of the Pallas kernel (never four full stream stacks at
+    once).
 
     The cohort velocity is a Gaussian moment closure — per-axis mean,
     second moments AND the E[vx*vy] cross-moment — because the MC
@@ -369,8 +639,8 @@ def cohort_round(st, G, aux, rules, Llen, push):
     splitting the outflow by the expected positive/negative velocity
     parts keeps the dispersion, and merging sums all moments exactly.
     Each directional stream carries truncated-Gaussian conditional
-    moments on its own axis; optionally (_XMOM) cross-moment-regressed
-    moments on the transverse axis, and optionally (_PERSTREAM) its OWN
+    moments on its own axis; optionally (xmom) cross-moment-regressed
+    moments on the transverse axis, and optionally (perstream) its OWN
     crossing distance, RMS speed, friction weight and attenuation
     factors. The physics being modeled is the per-particle trajectory
     loop of erosion.cu:100-136."""
@@ -393,10 +663,10 @@ def cohort_round(st, G, aux, rules, Llen, push):
 
     # Directional stream decomposition (split weights + the conditional
     # moments each stream carries).
-    Exp, Exn, cxp, cxn, m2xp, m2xn, Pxp = _axis_streams(vbx, m2x)
-    Eyp, Eyn, cyp, cyn, m2yp, m2yn, Pyp = _axis_streams(vby, m2y)
+    Exp, Exn, cxp, cxn, m2xp, m2xn, Pxp = _axis_streams(vbx, m2x, cl.vdist)
+    Eyp, Eyn, cyp, cyn, m2yp, m2yn, Pyp = _axis_streams(vby, m2y, cl.vdist)
 
-    if _OFFSETS:
+    if cl.offsets:
         # Quadrant-offset exit routing.  The reference particle crosses
         # exactly ONE cell per round in its current direction
         # (erosion.cu:117-135): the per-round exit flux is COUNT-based
@@ -434,11 +704,6 @@ def cohort_round(st, G, aux, rules, Llen, push):
         gwx = width(vfx, mfx)
         gwy = width(vfy, mfy)
 
-        # Speed floor: quadrants whose conditional speed sits at the
-        # floor carry ~zero quadrant weight, so the floor only guards
-        # the division.  It must NOT be denormal-small: reverse-mode
-        # d(x/u)/du = -x/u^2 overflows f32 at u ~ 1e-20 and the clip's
-        # zero cotangent then meets inf as 0*inf = NaN.
         # Speed floor: quadrants whose conditional speed sits at the
         # floor carry ~zero quadrant weight, so the floor only guards
         # the division.  It must NOT be denormal-small: reverse-mode
@@ -559,7 +824,7 @@ def cohort_round(st, G, aux, rules, Llen, push):
     # which would make conditional variances negative).
     varx = jnp.maximum(m2x - vbx * vbx, 0.0)
     vary = jnp.maximum(m2y - vby * vby, 0.0)
-    if _XMOM:
+    if cl.xmom:
         prod = varx * vary
         pzero = prod <= 0.0
         lim = jnp.where(
@@ -578,7 +843,7 @@ def cohort_round(st, G, aux, rules, Llen, push):
     mx_yn, m2x_yn, mxy_yn = _cond_stream(cyn, m2yn, vby, vbx, m2x, by, vary)
 
     aux_tail = aux[3:]
-    if _PERSTREAM:
+    if cl.perstream:
         def stream_phys(m2_own, m2_t, own_is_x):
             inv_s, u_own, u_t = _stream_geom(m2_own, m2_t)
             u2 = (u_own, u_t) if own_is_x else (u_t, u_own)
@@ -607,7 +872,7 @@ def cohort_round(st, G, aux, rules, Llen, push):
         w1, facs = rules(dL, inv, safe_w, carried, (ux, uy), aux_tail)
         ph_xp = ph_xn = ph_yp = ph_yn = (dL, dvar, w1, facs)
 
-    if _OFFSETS and _OFFSTEP:
+    if cl.offsets and cl.offstep:
         # Offset-conditional step moments per face-stream (see _OFFSTEP):
         # the rules evaluation (attenuation/friction) above keeps its
         # shared kinematics; only the (dL, Var[dL]) fed to the velocity
@@ -643,28 +908,26 @@ def cohort_round(st, G, aux, rules, Llen, push):
 
     wa = jnp.where(alive, w, 0.0)
 
-    # CHANNEL-WISE push assembly: each output channel's four directional
-    # payloads are built, shifted and summed independently — never the
-    # four (S, W, H) stream stacks at once (peak-VMEM discipline in the
-    # Pallas kernel; see ops/sweep.py).
+    # CHANNEL-WISE payload emission: each output channel's four
+    # directional payloads are built (and pushed by the consumer)
+    # independently — never the four (S, W, H) stream stacks at once
+    # (peak-VMEM discipline in the Pallas kernel; see ops/sweep.py).
     wxp_a, wxn_a = wa * wxp, wa * wxn
     wyp_a, wyn_a = wa * wyp, wa * wyn
 
-    out = [push((wxp_a, wxn_a, wyp_a, wyn_a))]
+    yield (wxp_a, wxn_a, wyp_a, wyn_a)
     # adv_* = (vox, voy, m2xo, m2yo, mxyo) per stream, in push order.
     for q in range(5):
-        out.append(push((wxp_a * adv_xp[q], wxn_a * adv_xn[q],
-                         wyp_a * adv_yp[q], wyn_a * adv_yn[q])))
+        yield (wxp_a * adv_xp[q], wxn_a * adv_xn[q],
+               wyp_a * adv_yp[q], wyn_a * adv_yn[q])
     # Sub-cell offset moments (w-weighted; pay_* already carry the face
     # weight factor, so they multiply the ALIVE-masked total weight wa).
-    out.append(push((wa * pay_fx_xp, wa * pay_fx_xn,
-                     wa * pay_fx_yp, wa * pay_fx_yn)))
-    out.append(push((wa * pay_fy_xp, wa * pay_fy_xn,
-                     wa * pay_fy_yp, wa * pay_fy_yn)))
-    out.append(push((wa * pay_fx2_xp, wa * pay_fx2_xn,
-                     wa * pay_fx2_yp, wa * pay_fx2_yn)))
-    out.append(push((wa * pay_fy2_xp, wa * pay_fy2_xn,
-                     wa * pay_fy2_yp, wa * pay_fy2_yn)))
+    yield (wa * pay_fx_xp, wa * pay_fx_xn, wa * pay_fx_yp, wa * pay_fx_yn)
+    yield (wa * pay_fy_xp, wa * pay_fy_xn, wa * pay_fy_yp, wa * pay_fy_yn)
+    yield (wa * pay_fx2_xp, wa * pay_fx2_xn,
+           wa * pay_fx2_yp, wa * pay_fx2_yn)
+    yield (wa * pay_fy2_xp, wa * pay_fy2_xn,
+           wa * pay_fy2_yp, wa * pay_fy2_yn)
 
     # Carried-channel deposits: per-stream per-CLASS attenuated weights
     # (alive-masked), folded once per class and reused across channels.
@@ -682,21 +945,18 @@ def cohort_round(st, G, aux, rules, Llen, push):
          wyp_z * ph_yp[3][k], wyn_z * ph_yn[3][k])
         for k in range(nk)
     ]
-    deposits = []
     for c, k in zip(carried, classes):
         fxp, fxn, fyp, fyn = fw[k]
         # Clip AFTER the carried*factor product: growth factors are
         # bounded (expected_exp_step clips exponents), so the product
         # can saturate to inf but never NaN, and the clip restores the
         # ±1e30 carried ceiling before arrivals merge.
-        deposits.append(push((
+        yield (
             jnp.clip(c * fxp, -1e30, 1e30),
             jnp.clip(c * fxn, -1e30, 1e30),
             jnp.clip(c * fyp, -1e30, 1e30),
             jnp.clip(c * fyn, -1e30, 1e30),
-        )))
-    arrivals = jnp.stack(out + deposits, axis=0)
-    return arrivals, G + arrivals[NSTATE:]
+        )
 
 
 def as_stack(x):
@@ -719,22 +979,38 @@ def _channels(x):
     return [x[i] for i in range(x.shape[0])]
 
 
-def cohort_advance_reference(st0, aux, rules, iters, Llen):
+def n_deposits(S, closure=None):
+    """Deposit-channel count C of an S-channel cohort state: the state
+    holds `closure.nodes` ensembles of (NSTATE moments + C carried)."""
+    cl = closure or ENV_CLOSURE
+    nnodes = int(getattr(cl, "nodes", 1) or 1)
+    per, rem = divmod(S, nnodes)
+    if rem or per <= NSTATE:
+        raise ValueError(
+            f"cohort state of {S} channels is not {nnodes} nodes of "
+            f"NSTATE={NSTATE} moments + carried totals"
+        )
+    return per - NSTATE
+
+
+def cohort_advance_reference(st0, aux, rules, iters, Llen, *, closure=None):
     """jnp fallback: one padded push per round (exact, no blocking).
     Returns (advanced state, deposits)."""
     st0 = as_stack(st0)
     aux = as_stack(aux)
+    C = n_deposits(st0.shape[0], closure)
 
     def body(_, carry):
         st, G = carry
-        return cohort_round(st, G, aux, rules, Llen, shift_push)
+        return cohort_round(st, G, aux, rules, Llen, shift_push, closure)
 
     return jax.lax.fori_loop(
-        0, int(iters), body, (st0, jnp.zeros_like(st0[NSTATE:]))
+        0, int(iters), body,
+        (st0, jnp.zeros((C,) + st0.shape[1:], st0.dtype)),
     )
 
 
-def _cohort_kernel(rounds, S, C, gh, n_tiles, Llen, rules,
+def _cohort_kernel(rounds, S, C, gh, n_tiles, Llen, rules, closure, geom,
                    st_hbm, aux_hbm, g_in_hbm,
                    st_out_hbm, g_out_hbm,
                    st_v, aux_v, gold_v, stout_v, gnew_v, sems, out_sems):
@@ -749,24 +1025,26 @@ def _cohort_kernel(rounds, S, C, gh, n_tiles, Llen, rules,
     the host re-pad were ~8 GB of HLO temps."""
     t = pl.program_id(0)
     slot = jax.lax.rem(t, 2)
+    TX, TY = geom.tile_x, geom.tile_y
+    WSX, WSY, HK = geom.sx, geom.sy, geom.k
 
     def in_dmas(s, ti):
         ii = ti // gh
         jj = jax.lax.rem(ti, gh)
-        x0 = ii * TILE_X
-        y0 = jj * TILE_Y
+        x0 = ii * TX
+        y0 = jj * TY
         return [
             pltpu.make_async_copy(
-                st_hbm.at[:, pl.ds(x0, SX), pl.ds(y0, SY)], st_v.at[s],
+                st_hbm.at[:, pl.ds(x0, WSX), pl.ds(y0, WSY)], st_v.at[s],
                 sems.at[s, 0],
             ),
             pltpu.make_async_copy(
-                aux_hbm.at[:, pl.ds(x0, SX), pl.ds(y0, SY)], aux_v.at[s],
+                aux_hbm.at[:, pl.ds(x0, WSX), pl.ds(y0, WSY)], aux_v.at[s],
                 sems.at[s, 1],
             ),
             pltpu.make_async_copy(
-                g_in_hbm.at[:, pl.ds(ii * TILE_X, TILE_X),
-                            pl.ds(jj * TILE_Y, TILE_Y)], gold_v.at[s],
+                g_in_hbm.at[:, pl.ds(ii * TX, TX),
+                            pl.ds(jj * TY, TY)], gold_v.at[s],
                 sems.at[s, 2],
             ),
         ]
@@ -774,7 +1052,7 @@ def _cohort_kernel(rounds, S, C, gh, n_tiles, Llen, rules,
     def out_dmas(ti):
         ii = ti // gh
         jj = jax.lax.rem(ti, gh)
-        tile = (pl.ds(ii * TILE_X, TILE_X), pl.ds(jj * TILE_Y, TILE_Y))
+        tile = (pl.ds(ii * TX, TX), pl.ds(jj * TY, TY))
         return [
             pltpu.make_async_copy(
                 stout_v, st_out_hbm.at[:, tile[0], tile[1]],
@@ -803,7 +1081,7 @@ def _cohort_kernel(rounds, S, C, gh, n_tiles, Llen, rules,
 
     def body(_, carry):
         st, G = carry
-        return cohort_round(st, G, aux, rules, Llen, _roll_push)
+        return cohort_round(st, G, aux, rules, Llen, _roll_push, closure)
 
     st = st_v[slot]
     G0 = jnp.zeros((C,) + st.shape[1:], jnp.float32)
@@ -818,9 +1096,8 @@ def _cohort_kernel(rounds, S, C, gh, n_tiles, Llen, rules,
         for c in out_dmas(t - 1):
             c.wait()
 
-    stout_v[...] = st[:, HALO_K:HALO_K + TILE_X, HALO_K:HALO_K + TILE_Y]
-    gnew_v[...] = gold_v[slot] + G[:, HALO_K:HALO_K + TILE_X,
-                                   HALO_K:HALO_K + TILE_Y]
+    stout_v[...] = st[:, HK:HK + TX, HK:HK + TY]
+    gnew_v[...] = gold_v[slot] + G[:, HK:HK + TX, HK:HK + TY]
     for c in out_dmas(t):
         c.start()
 
@@ -830,18 +1107,21 @@ def _cohort_kernel(rounds, S, C, gh, n_tiles, Llen, rules,
             c.wait()
 
 
-def _cohort_call(STp, AUXp, G, rules, rounds, Llen, grid_wh, interpret):
+def _cohort_call(STp, AUXp, G, rules, rounds, Llen, grid_wh, interpret,
+                 closure, geom):
     """One K-blocked pass: (padded state, padded aux, running deposits) ->
     (advanced unpadded state, updated deposits). G is donated — the
     deposit output aliases it (in-place tile read-modify-write)."""
     S = STp.shape[0]
     A = AUXp.shape[0]
-    C = S - NSTATE
+    C = n_deposits(S, closure)
     gw, gh = grid_wh
     n_tiles = gw * gh
+    TX, TY = geom.tile_x, geom.tile_y
 
     def kernel(*refs):
-        _cohort_kernel(rounds, S, C, gh, n_tiles, Llen, rules, *refs)
+        _cohort_kernel(rounds, S, C, gh, n_tiles, Llen, rules, closure,
+                       geom, *refs)
 
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     return pl.pallas_call(
@@ -850,16 +1130,16 @@ def _cohort_call(STp, AUXp, G, rules, rounds, Llen, grid_wh, interpret):
         in_specs=[any_spec] * 3,
         out_specs=(any_spec, any_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((S, gw * TILE_X, gh * TILE_Y), jnp.float32),
-            jax.ShapeDtypeStruct((C, gw * TILE_X, gh * TILE_Y), jnp.float32),
+            jax.ShapeDtypeStruct((S, gw * TX, gh * TY), jnp.float32),
+            jax.ShapeDtypeStruct((C, gw * TX, gh * TY), jnp.float32),
         ),
         input_output_aliases={2: 1},
         scratch_shapes=[
-            pltpu.VMEM((2, S, SX, SY), jnp.float32),       # state windows
-            pltpu.VMEM((2, A, SX, SY), jnp.float32),       # aux windows
-            pltpu.VMEM((2, C, TILE_X, TILE_Y), jnp.float32),  # old G tiles
-            pltpu.VMEM((S, TILE_X, TILE_Y), jnp.float32),  # state out
-            pltpu.VMEM((C, TILE_X, TILE_Y), jnp.float32),  # new G tile
+            pltpu.VMEM((2, S, geom.sx, geom.sy), jnp.float32),  # state wins
+            pltpu.VMEM((2, A, geom.sx, geom.sy), jnp.float32),  # aux wins
+            pltpu.VMEM((2, C, TX, TY), jnp.float32),  # old G tiles
+            pltpu.VMEM((S, TX, TY), jnp.float32),     # state out
+            pltpu.VMEM((C, TX, TY), jnp.float32),     # new G tile
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -870,39 +1150,50 @@ def _cohort_call(STp, AUXp, G, rules, rounds, Llen, grid_wh, interpret):
     )(STp, AUXp, G)
 
 
-def cohort_advance(st0, aux, rules, iters, Llen, *, interpret=False):
-    """`iters` cohort transit rounds with HALO_K-blocked HBM passes.
+def cohort_advance(st0, aux, rules, iters, Llen, *, interpret=False,
+                   closure=None, geometry=None):
+    """`iters` cohort transit rounds with K-blocked HBM passes.
 
     Args:
-      st0: (5+C, W, H) initial cohort state (weight, momentum,
-        second velocity moments, carried totals) — a stacked array or a
-        sequence of (W, H) channels (preferred: see `as_stack`).
+      st0: (NSTATE+C, W, H) initial cohort state (weight, momentum,
+        second velocity moments, sub-cell offsets, carried totals) — a
+        stacked array or a sequence of (W, H) channels (preferred: see
+        `as_stack`).
       aux: (3+A, W, H) static per-cell fields: acceleration, domain
         mask, rules aux — stacked or a channel sequence.
       rules: physics callback (see module docstring); traced into the
         kernel, so it must be jnp-pure with static captured scalars.
       iters: transit rounds (static).
       Llen: cell diagonal [m].
+      closure: CohortClosure (None -> the SOIL_COHORT_* env defaults).
+      geometry: CohortGeometry (None -> `choose_geometry` picks the most
+        efficient window that fits the VMEM budget at these channel
+        counts — the S-dependence that keeps state growth from VMEM-
+        faulting Mosaic, the round-3 4096² bench crash).
     Returns:
-      (advanced (5+C, W, H) state, (C, W, H) accumulated deposits),
+      (advanced (NSTATE+C, W, H) state, (C, W, H) accumulated deposits),
       matching `cohort_advance_reference` to f32 roundoff.
     """
     st_ch = _channels(st0)
     aux_ch = _channels(aux)
     S = len(st_ch)
     W, H = st_ch[0].shape
-    C = S - NSTATE
-    K = HALO_K
-    gw = -(-W // TILE_X)
-    gh = -(-H // TILE_Y)
-    Wp, Hp = gw * TILE_X, gh * TILE_Y
+    C = n_deposits(S, closure)
+    A = len(aux_ch)
+    geom = geometry or choose_geometry(S, A, C, closure)
+    geom.validate()
+    K = geom.k
+    TX, TY = geom.tile_x, geom.tile_y
+    gw = -(-W // TX)
+    gh = -(-H // TY)
+    Wp, Hp = gw * TX, gh * TY
 
     def build_padded(chs):
         """Zero-padded staging stack, built one channel at a time: each
         producer fuses into its dynamic_update_slice, so the peak is the
         stack plus ONE channel — never stack + unpadded copy (6 GB of
         coexisting temps at 8192² the jnp.pad route holds)."""
-        out = jnp.zeros((len(chs), Wp + 2 * K, Hp + K + _YPAD_R),
+        out = jnp.zeros((len(chs), Wp + 2 * K, Hp + K + geom.ypad_r),
                         jnp.float32)
         for i, c in enumerate(chs):
             out = jax.lax.dynamic_update_slice(out, c[None], (i, K, K))
@@ -921,7 +1212,8 @@ def cohort_advance(st0, aux, rules, iters, Llen, *, interpret=False):
 
     def one_pass(STp, G, r):
         st_out, G = _cohort_call(
-            STp, AUXp, G, rules, r, Llen, (gw, gh), interpret
+            STp, AUXp, G, rules, r, Llen, (gw, gh), interpret,
+            closure, geom,
         )
         STp = jax.lax.dynamic_update_slice(STp, st_out, (0, K, K))
         return STp, G
@@ -948,8 +1240,10 @@ def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def run_cohort(st0, aux, rules, iters, Llen):
+def run_cohort(st0, aux, rules, iters, Llen, closure=None):
     """Backend-dispatched single-device cohort solve -> deposits."""
     if use_pallas():
-        return cohort_advance(st0, aux, rules, int(iters), Llen)[1]
-    return cohort_advance_reference(st0, aux, rules, int(iters), Llen)[1]
+        return cohort_advance(st0, aux, rules, int(iters), Llen,
+                              closure=closure)[1]
+    return cohort_advance_reference(st0, aux, rules, int(iters), Llen,
+                                    closure=closure)[1]

@@ -26,12 +26,32 @@ from jax import lax
 
 from soillib_tpu.core.halo import Halo
 
-# Trace-time halo-traffic ledger: every exchange_axis call with a real
-# neighbor (n_blocks > 1) adds its per-device ppermute payload here, so
-# the scaling model's communication inputs are MEASURED from the traced
-# program, not assumed (tests/test_parallel.py asserts them).  Reset
-# with `HALO_BYTES.clear()`; entries are (axis_name, bytes_per_device).
+# Trace-time halo-traffic ledger: while enabled (the `halo_ledger`
+# context manager), every exchange_axis call with a real neighbor
+# (n_blocks > 1) adds its per-device ppermute payload here, so the
+# scaling model's communication inputs are MEASURED from the traced
+# program, not assumed (tests/test_parallel.py asserts them).  OPT-IN:
+# appending on every trace of every sharded program would grow a
+# module global without bound in a long-lived multi-config process.
+# Entries are (axis_name, bytes_per_device).
 HALO_BYTES = []
+_LEDGER_ON = False
+
+
+class halo_ledger:
+    """`with halo_ledger() as entries:` — clear HALO_BYTES, record the
+    traffic of every halo exchange traced inside the block."""
+
+    def __enter__(self):
+        global _LEDGER_ON
+        HALO_BYTES.clear()
+        _LEDGER_ON = True
+        return HALO_BYTES
+
+    def __exit__(self, *exc):
+        global _LEDGER_ON
+        _LEDGER_ON = False
+        return False
 
 def _overlap_enabled() -> bool:
     """Opt-in interior/boundary-band overlap schedule for the K-blocked
@@ -79,10 +99,11 @@ def exchange_axis(arr, axis_name: str, n_blocks: int, axis: int, fill, radius: i
     if n_blocks > 1:
         fwd = [(i, i + 1) for i in range(n_blocks - 1)]
         bwd = [(i + 1, i) for i in range(n_blocks - 1)]
-        HALO_BYTES.append(
-            (axis_name,
-             (hi_slab.size + lo_slab.size) * hi_slab.dtype.itemsize)
-        )
+        if _LEDGER_ON:
+            HALO_BYTES.append(
+                (axis_name,
+                 (hi_slab.size + lo_slab.size) * hi_slab.dtype.itemsize)
+            )
         from_left = lax.ppermute(hi_slab, axis_name, fwd)
         from_right = lax.ppermute(lo_slab, axis_name, bwd)
         idx = lax.axis_index(axis_name)
@@ -182,7 +203,7 @@ class ShardHalo(Halo):
             G = self.crop_cf(advance(Gp, Ep, attp, vxp, vyp, rem), K)
         return G
 
-    def run_cohort(self, st0, aux, rules, iters: int, Llen):
+    def run_cohort(self, st0, aux, rules, iters: int, Llen, closure=None):
         """K-blocked distributed cohort sweep: exchange a K-wide ring of
         the cohort state per K rounds, advance the K rounds block-locally
         (the Pallas cohort kernel on TPU, the jnp loop elsewhere), keep
@@ -198,16 +219,20 @@ class ShardHalo(Halo):
         aux = CO.as_stack(aux)  # the stacked form
         bw, bh = st0.shape[-2], st0.shape[-1]
         if bw < K or bh < K:
-            return self._run_cohort_per_round(st0, aux, rules, iters, Llen)
+            return self._run_cohort_per_round(
+                st0, aux, rules, iters, Llen, closure
+            )
 
         auxp = self.pad_cf(aux, 0.0, K)
-        advance = (
-            CO.cohort_advance if CO.use_pallas()
-            else CO.cohort_advance_reference
-        )
+
+        def advance(stp, axp, rules, r, Llen):
+            fn = (CO.cohort_advance if CO.use_pallas()
+                  else CO.cohort_advance_reference)
+            return fn(stp, axp, rules, r, Llen, closure=closure)
 
         ST = st0
-        G = jnp.zeros_like(st0[CO.NSTATE:])
+        C = CO.n_deposits(st0.shape[0], closure)
+        G = jnp.zeros((C,) + st0.shape[1:], st0.dtype)
         n_full, rem = divmod(int(iters), K)
         overlap = _overlap_enabled() and bw >= 4 * K and bh >= 4 * K
 
@@ -275,9 +300,10 @@ class ShardHalo(Halo):
             G = G + gp
         return G
 
-    def _run_cohort_per_round(self, st0, aux, rules, iters: int, Llen):
+    def _run_cohort_per_round(self, st0, aux, rules, iters: int, Llen,
+                              closure=None):
         """Per-round cohort-state halo exchange (1-cell ppermute/round)."""
-        from soillib_tpu.ops.cohort import NSTATE, cohort_round, shift_push
+        from soillib_tpu.ops.cohort import cohort_round, n_deposits, shift_push
 
         def push(payloads):
             return self.crop_cf(
@@ -286,10 +312,12 @@ class ShardHalo(Halo):
 
         def body(_, carry):
             st, G = carry
-            return cohort_round(st, G, aux, rules, Llen, push)
+            return cohort_round(st, G, aux, rules, Llen, push, closure)
 
+        C = n_deposits(st0.shape[0], closure)
         _, G = jax.lax.fori_loop(
-            0, int(iters), body, (st0, jnp.zeros_like(st0[NSTATE:]))
+            0, int(iters), body,
+            (st0, jnp.zeros((C,) + st0.shape[1:], st0.dtype)),
         )
         return G
 

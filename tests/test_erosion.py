@@ -268,6 +268,12 @@ def test_parity_fluvial_conditioned_documented_bias():
     rep = parity.compare_fluvial(st, scale, p, 8)
     _check(rep, "discharge", rel_max=0.08, corr_min=0.82)
     _check(rep, "momentum", rel_max=0.05, corr_min=0.45)
+    # Suspended-mass guard at the measured round-3 level (rel 0.72 /
+    # corr 0.54 at this config): the offset-routing closure's accepted
+    # conditioned-mass cost is PINNED here so further drift fails CI
+    # rather than passing silently (the default-closure gap; the
+    # quality-mode closures measure far lower — RESULTS.md).
+    _check(rep, "mass", rel_max=0.80, corr_min=0.50)
 
 
 def test_parity_debris():

@@ -15,15 +15,19 @@ import pytest
 import soillib_tpu as soil
 
 # (mean, std, absmax) after 10 steps @64², transportIterations=16, key=3.
-# Re-pinned 2026-08-17 after switching the default noise to the
-# FastNoiseLite-compat OpenSimplex2 pipeline (the initial terrain changed;
-# the model itself did not — tests/test_noise.py pins the terrain against
-# goldens dumped from the vendored library).
+# Re-pinned 2026-08-20 to the round-3 default closure (offset routing +
+# offset-conditional step moments, SOIL_COHORT_OFFSETS/OFFSTEP=1): the
+# closure change is deliberate (RESULTS.md closure study) and the npz
+# goldens (golden_traj128/256.npz) were regenerated with it in round 3,
+# but this inline dict was not — the round-3 keep-green regression.
+# Previous re-pin 2026-08-17 (FastNoiseLite-compat OpenSimplex2 default
+# noise; terrain changed, model did not — tests/test_noise.py pins the
+# terrain against goldens dumped from the vendored library).
 GOLDEN = {
-    "height": (1.941293e+00, 8.773226e-02, 2.151546e+00),
-    "discharge": (1.571187e+00, 1.489534e+00, 1.077810e+01),
-    "mass": (2.166029e-12, 7.342983e-12, 1.347082e-10),
-    "sediment": (1.911237e-03, 2.303055e-03, 1.441507e-02),
+    "height": (1.941293e+00, 8.773191e-02, 2.151546e+00),
+    "discharge": (1.585428e+00, 1.664814e+00, 1.363338e+01),
+    "mass": (4.337348e-12, 1.764005e-11, 3.245029e-10),
+    "sediment": (1.909290e-03, 2.304993e-03, 1.441507e-02),
 }
 
 

@@ -67,6 +67,33 @@ def test_geotiff_meta_roundtrip(tmp_path, arr):
     np.testing.assert_array_equal(g2.numpy(), arr)
 
 
+def test_geotiff_matrix_roundtrip(tmp_path, arr):
+    """Matrix-georeferenced GeoTIFFs (GeoTransMatrix 34264 and/or the
+    Intergraph matrix 33920 INSTEAD of the tie-point/scale pair) keep
+    their projection through read -> write -> read
+    (io/geotiff.hpp:12-50, write-back :194-241)."""
+    path = str(tmp_path / "m.tiff")
+    g = soil.geotiff(arr)
+    mat = [2.0, 0.0, 0.0, 100.0,
+           0.0, -2.0, 0.0, 200.0,
+           0.0, 0.0, 1.0, 0.0,
+           0.0, 0.0, 0.0, 1.0]
+    ig = [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 5.0, 6.0]
+    g.meta.matrix = mat
+    g.meta.intergraph = ig
+    g.write(path)
+
+    g2 = soil.geotiff(path)
+    assert g2.meta.matrix == mat
+    assert g2.meta.intergraph == ig
+    # Second cycle: the re-emit must be stable, not one-shot.
+    path2 = str(tmp_path / "m2.tiff")
+    g2.write(path2)
+    g3 = soil.geotiff(path2)
+    assert g3.meta.matrix == mat
+    assert g3.meta.intergraph == ig
+
+
 def test_geotiff_nodata_nan(tmp_path):
     path = str(tmp_path / "n.tiff")
     arr = np.arange(12, dtype=np.float32).reshape(3, 4)

@@ -201,6 +201,34 @@ def test_sharded_erosion_step_matches_single_device(mesh):
         )
 
 
+def test_sharded_erosion_quality_closure_matches_single_device(mesh):
+    """The quality-mode closure (face-routed mixture nodes + colored
+    birth sub-ensembles, hash rule exercising halo.global_offsets under
+    shard_map) keeps the single-step sharded-vs-single-device parity of
+    the test above."""
+    from soillib_tpu.ops.cohort import CohortClosure
+
+    W, H = 32, 48
+    key = jax.random.PRNGKey(0)
+    hgt = 2.0 + 0.02 * jax.random.normal(key, (W, H), jnp.float32)
+    state = soil.ErosionState.zeros((W, H), height=hgt)
+    param = soil.ErosionParams()
+    param.transportIterations = 12
+    param.closure = CohortClosure(nodes=2, colors=2, color_rule="hash")
+    scale = (0.08, 0.08, 4.0)
+
+    k = jax.random.PRNGKey(42)
+    want = soil.erode(state, scale, param, steps=1, key=k)
+    got = par.sharded_erode(state, mesh, scale, param, steps=1, key=k)
+
+    for f in ("layers", "discharge", "mass", "momentum", "debris",
+              "debris_momentum", "albedo_surface"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
+            rtol=1e-4, atol=1e-5, err_msg=f,
+        )
+
+
 def test_sharded_erosion_multistep_integrals(mesh):
     """Multi-step sharded-vs-single-device guard: per-cell values diverge
     chaotically (see the docstring above), but integral/statistical
@@ -354,16 +382,15 @@ def test_halo_bytes_ledger(mesh):
 
     spec = grid_spec(mesh)
     sspec = jax.sharding.PartitionSpec(None, *spec)
-    H.HALO_BYTES.clear()
-    jax.eval_shape(
-        lambda a: smap(fn, mesh=mesh, in_specs=(sspec,),
-                       out_specs=sspec, check_vma=False)(a),
-        jax.ShapeDtypeStruct((C, W, Hh), jnp.float32),
-    )
-    got = {}
-    for name, nbytes in H.HALO_BYTES:
-        got[name] = got.get(name, 0) + nbytes
-    H.HALO_BYTES.clear()
+    with H.halo_ledger() as entries:
+        jax.eval_shape(
+            lambda a: smap(fn, mesh=mesh, in_specs=(sspec,),
+                           out_specs=sspec, check_vma=False)(a),
+            jax.ShapeDtypeStruct((C, W, Hh), jnp.float32),
+        )
+        got = {}
+        for name, nbytes in entries:
+            got[name] = got.get(name, 0) + nbytes
     ax, ay = mesh.axis_names
     assert got[ax] == 2 * C * K * bh * 4
     assert got[ay] == 2 * C * (bw + 2 * K) * K * 4

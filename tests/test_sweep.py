@@ -177,3 +177,40 @@ def test_cohort_kernel_multitile():
     # deposits after 9 rounds is f32 reassociation, not structure.
     np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_w),
                                rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("nnodes", [2, 4])
+def test_cohort_kernel_nodes_matches_reference(nnodes):
+    """The face-routed N-node mixture (CohortClosure.nodes) through the
+    temporally-blocked Pallas kernel == the jnp reference, and the
+    deposit stack keeps C channels (n_deposits) while the state carries
+    nodes*(NSTATE+C)."""
+    from soillib_tpu.ops.cohort import (
+        CohortClosure,
+        cohort_advance,
+        cohort_advance_reference,
+    )
+
+    closure = CohortClosure(nodes=nnodes)
+    st0, aux, rules = _cohort_problem(jax.random.PRNGKey(2), 2, 72, 60)
+    # Node-split births: node 0 gets cells where |vx| >= |vy| etc. —
+    # build by masking the whole single-node state per node (every
+    # channel carries a w factor).
+    vx = st0[1] / st0[0]
+    vy = st0[2] / st0[0]
+    isx = jnp.abs(vx) >= jnp.abs(vy)
+    if nnodes == 2:
+        masks = [isx, ~isx]
+    else:
+        masks = [isx & (vx >= 0), isx & (vx < 0),
+                 ~isx & (vy >= 0), ~isx & (vy < 0)]
+    stn = jnp.concatenate(
+        [st0 * jnp.where(m, 1.0, 0.0)[None] for m in masks], axis=0
+    )
+    _, g_w = cohort_advance_reference(stn, aux, rules, 9, 0.11,
+                                      closure=closure)
+    st_g, g_g = cohort_advance(stn, aux, rules, 9, 0.11, interpret=True,
+                               closure=closure)
+    assert g_w.shape[0] == 2 and st_g.shape[0] == stn.shape[0]
+    np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_w),
+                               rtol=2e-5, atol=1e-5)
