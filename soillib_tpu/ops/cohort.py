@@ -255,13 +255,19 @@ def cohort_vmem_bytes(S, A, C, geom: CohortGeometry,
 
 
 def choose_geometry(S, A, C, closure: CohortClosure | None = None,
-                    budget: int = VMEM_BUDGET_BYTES) -> CohortGeometry:
+                    budget: int = VMEM_BUDGET_BYTES,
+                    grid=None) -> CohortGeometry:
     """Largest-efficiency window geometry that fits the VMEM budget at
     the given channel counts. Efficiency = tile area / window area (the
     halo ring plus lane slack are computed and thrown away every round;
-    the kernel is VPU-issue-bound, so wasted fraction ≈ wasted time).
-    Env overrides SOIL_COHORT_{K,SX,SY,TY} pin any subset of the fields
-    (the rest stay auto)."""
+    the kernel is VPU-issue-bound, so wasted fraction ≈ wasted time),
+    TIMES the useful fraction of the tile-padded grid when `grid=(W, H)`
+    is known — grid padding dominates the ranking in practice (measured
+    2048² sweep, TPU v5e: ty=640 pads 2048 to 2560 and loses 18% real
+    throughput vs the exactly-dividing ty=512 despite a better window
+    ratio; RESULTS.md round-4 geometry sweep).  Env overrides
+    SOIL_COHORT_{K,SX,SY,TY} pin any subset of the fields (the rest
+    stay auto)."""
     env = {
         name: int(v)
         for name, v in (
@@ -291,6 +297,11 @@ def choose_geometry(S, A, C, closure: CohortClosure | None = None,
                 if cohort_vmem_bytes(S, A, C, g, closure) > budget:
                     continue
                 eff = (g.tile_x * ty) / (sx * sy)
+                if grid is not None:
+                    W, H = grid
+                    pad = ((-(-W // g.tile_x) * g.tile_x)
+                           * (-(-H // ty) * ty))
+                    eff *= (W * H) / pad
                 # Prefer efficiency; tie-break toward larger K (fewer
                 # HBM passes) then larger windows (fewer grid tiles).
                 key = (eff, k, sx * sy)
@@ -1180,7 +1191,7 @@ def cohort_advance(st0, aux, rules, iters, Llen, *, interpret=False,
     W, H = st_ch[0].shape
     C = n_deposits(S, closure)
     A = len(aux_ch)
-    geom = geometry or choose_geometry(S, A, C, closure)
+    geom = geometry or choose_geometry(S, A, C, closure, grid=(W, H))
     geom.validate()
     K = geom.k
     TX, TY = geom.tile_x, geom.tile_y

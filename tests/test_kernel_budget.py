@@ -87,8 +87,8 @@ def test_cohort_advance_uses_auto_geometry(monkeypatch):
     calls = []
     real = cohort.choose_geometry
 
-    def spy(S, A, C, closure=None, budget=VMEM_BUDGET_BYTES):
-        g = real(S, A, C, closure, budget)
+    def spy(S, A, C, closure=None, budget=VMEM_BUDGET_BYTES, grid=None):
+        g = real(S, A, C, closure, budget, grid)
         calls.append((S, A, C, g))
         return g
 
