@@ -228,6 +228,66 @@ def bilinear_gather(field, pos):
     return jnp.where(oob, jnp.nan, v)
 
 
+def linear_gather(field, pos):
+    """1-D linear sample of a (N[, C]) field at (...,) positions —
+    returns (value, gradient) with gradient in cell units.
+
+    Mirrors sample_t<., 1, 1> (sample.hpp:32-66: val = lerp(v0, v1; t),
+    grad = v1 - v0), with the 2-D gather's boundary conventions
+    (sample.hpp:155-186) applied along the one axis: NaN outside
+    [0, N-1], far-edge sample/weight dropped."""
+    N = field.shape[0]
+    x = pos
+    x0 = jnp.floor(x).astype(jnp.int32)
+    t = x - x0
+    t = jnp.where(x + 1.0 > N - 1.0, 0.0, t)
+    x0c = jnp.clip(x0, 0, N - 1)
+    x1c = jnp.clip(x0 + 1, 0, N - 1)
+    v0 = field[x0c]
+    v1 = field[x1c]
+    if field.ndim == 2:
+        t = t[..., None]
+    val = v0 + t * (v1 - v0)
+    grad = v1 - v0
+    oob = (x < 0) | (x > N - 1.0)
+    if field.ndim == 2:
+        oob = oob[..., None]
+    return jnp.where(oob, jnp.nan, val), jnp.where(oob, jnp.nan, grad)
+
+
+def bilinear_gather_grad(field, pos):
+    """Bilinear sample WITH its first-order gradient at (..., 2) grid
+    positions -> (value, (..., 2) gradient), gradient in cell units.
+
+    Mirrors sample_t<., 2, 1>::grad (sample.hpp:96-101): grad.x is the
+    difference of the two y-lerped x-slices, grad.y the x-lerp of the
+    per-slice y-differences; boundary conventions as `bilinear_gather`.
+    (The reference uses this internally for its CPU normal op; exposed
+    here for parity and for user-side DEM sampling.)"""
+    W, H = field.shape[0], field.shape[1]
+    x, y = pos[..., 0], pos[..., 1]
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    wx = x - x0
+    wy = y - y0
+    wx = jnp.where(x + 1.0 > W - 1.0, 0.0, wx)
+    wy = jnp.where(y + 1.0 > H - 1.0, 0.0, wy)
+    x0c = jnp.clip(x0, 0, W - 1)
+    y0c = jnp.clip(y0, 0, H - 1)
+    x1c = jnp.clip(x0 + 1, 0, W - 1)
+    y1c = jnp.clip(y0 + 1, 0, H - 1)
+    h00, h01 = field[x0c, y0c], field[x0c, y1c]
+    h10, h11 = field[x1c, y0c], field[x1c, y1c]
+    l0 = h00 + wy * (h01 - h00)
+    l1 = h10 + wy * (h11 - h10)
+    val = l0 + wx * (l1 - l0)
+    gx = l1 - l0
+    gy = (h01 - h00) + wx * ((h11 - h10) - (h01 - h00))
+    oob = (x < 0) | (y < 0) | (x > W - 1.0) | (y > H - 1.0)
+    nan = jnp.where(oob, jnp.nan, 0.0)
+    return val + nan, jnp.stack([gx + nan, gy + nan], axis=-1)
+
+
 def upwind_push(payload, dirs):
     """One round of the upwind transport operator.
 
