@@ -276,6 +276,24 @@ def test_parity_fluvial_conditioned_documented_bias():
     _check(rep, "mass", rel_max=0.80, corr_min=0.50)
 
 
+def test_parity_fluvial_conditioned_quality_closure():
+    """The quality-mode closure (face-routed nodes + colored births)
+    must keep its measured parity GAIN over the default on the terrain
+    the default is weakest on (measured at this config: discharge
+    0.023/0.927, momentum 0.004/0.932 vs default 0.064/0.845 and
+    0.036/0.836 — the round-4 mixture-representation fix, RESULTS.md
+    quality-mode study)."""
+    from soillib_tpu.ops.cohort import CohortClosure
+
+    parity, st, scale, p = _parity_setup("conditioned", warm=6)
+    pq = p.replace(closure=CohortClosure(nodes=4, colors=2,
+                                         color_rule="hash"))
+    rep = parity.compare_fluvial(st, scale, pq, 8)
+    _check(rep, "discharge", rel_max=0.04, corr_min=0.90)
+    _check(rep, "momentum", rel_max=0.01, corr_min=0.90)
+    _check(rep, "mass", rel_max=0.70, corr_min=0.60)
+
+
 def test_parity_debris():
     """Debris cohort rheology vs converged MC on ramp AND structured
     terrain — the round-1 gap (static field solve: rel 100%, corr 0)."""
