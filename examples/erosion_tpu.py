@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--steps", type=int, default=512)
     ap.add_argument("--report", type=int, default=32)
     ap.add_argument("--out", default="/tmp/erosion_tpu")
+    ap.add_argument("--quality", action="store_true",
+                    help="mixture quality mode (CohortClosure(nodes=4, "
+                         "colors=8): ~25x step cost, MC-floor parity — "
+                         "RESULTS.md quality-mode study)")
     args = ap.parse_args()
 
     res = (args.res, args.res)
@@ -61,6 +65,8 @@ def main():
     height = soil.noise(res, soil.noise_t(seed=3.0, ext=(res[0], res[1])))
     state = soil.ErosionState.zeros(res, height=height)
     param = make_param()
+    if args.quality:
+        param.closure = soil.CohortClosure(nodes=4, colors=8)
 
     sim = soil.ErosionSim(res, pscale, param, state=state)
     done = 0
