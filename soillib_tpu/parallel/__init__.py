@@ -30,6 +30,7 @@ from soillib_tpu.parallel.mesh import (
 )
 from soillib_tpu.parallel.halo import ShardHalo, exchange_axis
 from soillib_tpu.parallel.erosion import make_sharded_erode_fn, sharded_erode
+from soillib_tpu.parallel.particles import solve_particles_sharded
 from soillib_tpu.parallel import graph, ops
 
 __all__ = [
@@ -47,4 +48,5 @@ __all__ = [
     "shard_field",
     "shard_state",
     "sharded_erode",
+    "solve_particles_sharded",
 ]

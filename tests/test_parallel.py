@@ -333,6 +333,68 @@ def test_distributed_accumulate(mesh):
                                    err_msg=f"decay edge={edge}")
 
 
+def _particle_problem():
+    W, H = 32, 48
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W))
+    flow = jnp.stack(
+        [1.0 + 0.3 * jnp.sin(yy / 7.0), 0.4 * jnp.cos(xx / 9.0)], axis=-1
+    ).astype(jnp.float32)
+    source = jnp.abs(jax.random.normal(k1, (W, H))).astype(jnp.float32)
+    decay = 0.05 + 0.02 * jax.random.uniform(k2, (W, H))
+    return flow, source, decay, (0.5, 0.5), k3
+
+
+def test_sharded_particles_bitwise_on_single_block():
+    """Cross-block particle migration (parallel/particles.py): on a 1x1
+    mesh the whole machinery — global birth draws, ownership take,
+    non-wrapping edge kills — reduces BITWISE to the single-device MC
+    estimator."""
+    from soillib_tpu.ops.transport import _solve_particles
+    from soillib_tpu.parallel.particles import solve_particles_sharded
+
+    flow, source, decay, scale, key = _particle_problem()
+    N = 8000
+    ref = _solve_particles(flow, source, decay, scale, N, key,
+                           maxstep=flow.shape[0] + flow.shape[1])
+    mesh1 = par.make_mesh(
+        (1, 1), devices=np.array(jax.devices()[:1]).reshape(1, 1)
+    )
+    got, dropped = solve_particles_sharded(
+        flow, source, decay, scale, N, key, mesh1, slack=2.0
+    )
+    assert int(dropped) == 0
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_sharded_particles_migration_parity(mesh):
+    """2x4-mesh particle estimator vs single-device: identical particle
+    set, ICI migration across block seams; agreement is statistical —
+    corr >= 0.999, total mass to f32 roundoff, zero capacity drops —
+    because the deposit cell floor(pos) is discontinuous and 1-ulp
+    cross-program reassociation flips near-threshold crossings
+    (measured corr 0.9998 / mass rel 6e-6 at 20k particles; the module
+    docstring documents the chaos class)."""
+    from soillib_tpu.ops.transport import _solve_particles
+    from soillib_tpu.parallel.particles import solve_particles_sharded
+
+    flow, source, decay, scale, key = _particle_problem()
+    N = 20000
+    ref = np.asarray(
+        _solve_particles(flow, source, decay, scale, N, key,
+                         maxstep=flow.shape[0] + flow.shape[1])
+    )
+    got, dropped = solve_particles_sharded(
+        flow, source, decay, scale, N, key, mesh, slack=2.0
+    )
+    got = np.asarray(got)
+    assert int(dropped) == 0
+    assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] >= 0.999
+    np.testing.assert_allclose(got.sum(), ref.sum(), rtol=1e-4)
+    assert np.abs(got - ref).mean() / np.abs(ref).mean() < 0.01
+
+
 def test_halo_overlap_schedule_equivalent(mesh, monkeypatch):
     """SOIL_HALO_OVERLAP=1 (interior/boundary-band split, exchange
     overlappable with interior compute) produces the same coupled step
