@@ -387,9 +387,11 @@ def transport_fluvial(
     elif method == "particles":
         if halo is not NO_HALO:
             raise NotImplementedError(
-                "particle transport is single-device; use method='field' "
-                "under shard_map (cross-block particle migration is not "
-                "implemented — the field solve is the sharded formulation)"
+                "method='particles' does not run inside a shard_map'd "
+                "step (the field solve is the in-step sharded "
+                "formulation); for distributional MC at mesh scale use "
+                "parallel.fluvial_particles_sharded, which migrates "
+                "particles across blocks over ICI"
             )
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -819,7 +821,9 @@ def transport_debris(
     elif method == "particles":
         if halo is not NO_HALO:
             raise NotImplementedError(
-                "particle transport is single-device; use method='field' under shard_map"
+                "method='particles' does not run inside a shard_map'd "
+                "step; use method='field' (see parallel.particles for "
+                "the cross-block-migration MC estimators)"
             )
         if key is None:
             key = jax.random.PRNGKey(0)

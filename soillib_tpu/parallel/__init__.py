@@ -30,7 +30,10 @@ from soillib_tpu.parallel.mesh import (
 )
 from soillib_tpu.parallel.halo import ShardHalo, exchange_axis
 from soillib_tpu.parallel.erosion import make_sharded_erode_fn, sharded_erode
-from soillib_tpu.parallel.particles import solve_particles_sharded
+from soillib_tpu.parallel.particles import (
+    fluvial_particles_sharded,
+    solve_particles_sharded,
+)
 from soillib_tpu.parallel import graph, ops
 
 __all__ = [
@@ -45,6 +48,7 @@ __all__ = [
     "make_sharded_erode_fn",
     "graph",
     "ops",
+    "fluvial_particles_sharded",
     "shard_field",
     "shard_state",
     "sharded_erode",

@@ -271,3 +271,182 @@ def solve_particles_sharded(flow, source, decay, scale, count, key, mesh,
     )(flow, src3, decay, key)
     G = flux / float(count)
     return (G[..., 0] if squeeze else G), dropped
+
+
+def fluvial_particles_sharded(layers, rainfall, discharge, momentum,
+                              albedo_surface, scale, p, key, mesh,
+                              slack=1.5):
+    """Block-decomposed `_fluvial_particles` (erosion.cu:29-141) with
+    ICI particle migration — distributional MC fluvial transport at mesh
+    scale. Returns ((W, H, 7) flux, dropped); same parity contract as
+    `solve_particles_sharded` (bitwise on 1×1, statistical on real
+    meshes — module docstring)."""
+    from soillib_tpu.models.erosion import (
+        _EPS,
+        _length,
+        godunov_gradient,
+        merged_height,
+    )
+    from soillib_tpu.ops.transport import stepsize
+
+    W, H = discharge.shape
+    sx, sy = float(scale[0]), float(scale[1])
+    A = sx * sy
+    Lvec = jnp.array([sx, sy], jnp.float32)
+    Llen = math.sqrt(sx * sx + sy * sy)
+    N = int(p.nSamples)
+    Q = A * W * H / N  # erosion.cu:53-54
+
+    g = p.gravity
+    nu = p.viscosityWater
+    tau = p.bedShearWater
+    rho_w = p.densityWater
+    ks = p.suspensionRateFluvial / 64.0
+    kd = p.depositionRateFluvial * 1.33
+    fD = p.frictionFactor / 8.0
+    alpha = p.fluvialExponent
+    R = p.rainfall
+    evap = p.evapRate
+    exit_slope = p.exitSlope
+    maxage = int(p.maxage)
+    force = jnp.array(p.force, jnp.float32)
+
+    px, py = mesh.devices.shape
+    ax, ay = mesh.axis_names
+    bw, bh = W // px, H // py
+    assert bw * px == W and bh * py == H, "grid must divide the mesh"
+    n_blocks = px * py
+    M = int(math.ceil(N / n_blocks * slack)) + 64
+    cap = max(64, int(4 * M / min(bw, bh)) + 16)
+    halo = ShardHalo(mesh.devices.shape, mesh.axis_names)
+    rain_full = jnp.broadcast_to(jnp.asarray(rainfall, jnp.float32), (W, H))
+
+    def local(layers_b, rain_b, dis_b, mom_b, alb_b, key):
+        x0, y0, _, _ = halo.global_offsets((bw, bh))
+        height = merged_height(layers_b)
+        grad_b = godunov_gradient(height, scale, exit_slope, halo=halo)
+        grad_flat = jnp.moveaxis(grad_b, 0, -1).reshape(-1, 2)
+        mom_flat = jnp.moveaxis(mom_b, 0, -1).reshape(-1, 2)
+        alb_flat = jnp.moveaxis(alb_b, 0, -1).reshape(-1, 3)
+        rain_flat = rain_b.reshape(-1)
+        dis_flat = dis_b.reshape(-1)
+
+        # Identical global birth draws on every block (erosion.cu:47-52
+        # inset births).
+        ku, kv = jax.random.split(key)
+        gpos = jnp.stack(
+            [0.5 + jax.random.uniform(ku, (N,)) * (W - 1),
+             0.5 + jax.random.uniform(kv, (N,)) * (H - 1)], axis=-1)
+        mine = ((gpos[:, 0] >= x0) & (gpos[:, 0] < x0 + bw)
+                & (gpos[:, 1] >= y0) & (gpos[:, 1] < y0 + bh))
+        (pos,), taken, over0 = _take((gpos,), mine, M)
+        if pos.shape[0] < M:
+            padn = M - pos.shape[0]
+            pos = jnp.pad(pos, ((0, padn), (0, 0)))
+            taken = jnp.pad(taken, (0, padn))
+
+        def lind(pp):
+            pc = jnp.clip(pp, jnp.array([x0, y0], jnp.float32),
+                          jnp.array([x0 + bw - 1e-3, y0 + bh - 1e-3]))
+            return ((pc[:, 0].astype(jnp.int32) - x0) * bh
+                    + (pc[:, 1].astype(jnp.int32) - y0))
+
+        li0 = lind(pos)
+        vel0 = mom_flat[li0]
+        grad0 = grad_flat[li0]
+        speed = -(g * grad0) + nu * vel0 + force
+        speed = speed / jnp.sqrt(
+            jnp.maximum(_length(Lvec[None, :] * speed), _EPS)
+        )[:, None]
+        alive = taken & (_length(speed) >= _EPS)
+
+        v = _length(vel0)
+        shear = 0.125 * fD * rho_w * v * v
+        power = jnp.power(jnp.maximum(shear * _length(grad0), 0.0), alpha)
+        src_m = Q * ks * power
+        src_w = Q * R * rain_flat[li0]
+        src_v = Q * (-(g * grad0) + nu * vel0)
+        src_a = src_m[:, None] * alb_flat[li0]
+        gind = jnp.where(
+            alive,
+            pos[:, 0].astype(jnp.int32) * H + pos[:, 1].astype(jnp.int32),
+            -1,
+        )
+
+        flux0 = jnp.zeros((bw * bh, 7), jnp.float32)
+        rec0 = {"pos": pos, "att": jnp.ones((M, 3), jnp.float32),
+                "spd": speed, "sw": src_w, "sm": src_m, "sv": src_v,
+                "sa": src_a, "g": gind}
+
+        def body(_, carry):
+            flux, rec, alive, dropped = carry
+            rec, alive, d1 = _migrate_axis(
+                rec, alive, rec["pos"][:, 0], x0, x0 + bw, ax, px, cap)
+            rec, alive, d2 = _migrate_axis(
+                rec, alive, rec["pos"][:, 1], y0, y0 + bh, ay, py, cap)
+            dropped = dropped + d1 + d2
+            pos, att, speed = rec["pos"], rec["att"], rec["spd"]
+            gind = rec["g"]
+
+            x, y = pos[:, 0], pos[:, 1]
+            inb = (x >= 0) & (y >= 0) & (x < W) & (y < H)
+            alive = alive & inb
+
+            pc = jnp.clip(pos, 0.0, jnp.array([W - 1e-3, H - 1e-3]))
+            ngind = (pc[:, 0].astype(jnp.int32) * H
+                     + pc[:, 1].astype(jnp.int32))
+            entered = alive & (ngind != gind)
+            gind = jnp.where(entered, ngind, gind)
+            li = lind(pos)
+            dep = jnp.concatenate(
+                [(att[:, 0] * rec["sw"])[:, None],
+                 (att[:, 1] * rec["sm"])[:, None],
+                 att[:, 2:3] * rec["sv"],
+                 att[:, 1:2] * rec["sa"]], axis=-1)
+            flux = flux.at[li].add(jnp.where(entered[:, None], dep, 0.0))
+
+            v_norm = _length(speed)
+            ok = v_norm >= _EPS
+            alive = alive & ok
+            v_unit = speed / jnp.maximum(v_norm, _EPS)[:, None]
+            stp = stepsize(pos, v_unit)
+            dL = stp * Llen
+            ds = dL / jnp.maximum(v_norm, _EPS)
+
+            gradp = grad_flat[li]
+            accel = -(g * gradp) + nu * mom_flat[li] + force
+            w1 = 1.0 / (1.0 + dL * (tau + nu))
+            new_speed = w1[:, None] * speed + (dL * w1)[:, None] * accel
+
+            decay_v = 0.125 * fD / (_EPS + dis_flat[li])
+            new_att = jnp.stack(
+                [att[:, 0] * jnp.exp(-ds * evap),
+                 att[:, 1] * jnp.exp(-ds * kd),
+                 att[:, 2] * jnp.exp(-dL * decay_v)], axis=-1)
+            new_pos = pos + stp[:, None] * v_unit
+
+            rec = {
+                "pos": jnp.where(alive[:, None], new_pos, pos),
+                "att": jnp.where(alive[:, None], new_att, att),
+                "spd": jnp.where(alive[:, None], new_speed, speed),
+                "sw": rec["sw"], "sm": rec["sm"], "sv": rec["sv"],
+                "sa": rec["sa"], "g": gind,
+            }
+            return flux, rec, alive, dropped
+
+        flux, _, _, dropped = lax.fori_loop(
+            0, max(maxage - 1, 0), body,
+            (flux0, rec0, taken & alive, over0.astype(jnp.int32)),
+        )
+        dropped = lax.psum(lax.psum(dropped, ax), ay)
+        return flux.reshape(bw, bh, 7), dropped
+
+    cf = P(None, ax, ay)
+    s2 = P(ax, ay)
+    flux, dropped = shard_map(
+        local, mesh=mesh,
+        in_specs=(cf, s2, s2, cf, cf, P()),
+        out_specs=(P(ax, ay, None), P()),
+        check_vma=False,
+    )(layers, rain_full, discharge, momentum, albedo_surface, key)
+    return flux, dropped

@@ -395,6 +395,49 @@ def test_sharded_particles_migration_parity(mesh):
     assert np.abs(got - ref).mean() / np.abs(ref).mean() < 0.01
 
 
+def test_sharded_fluvial_particles(mesh):
+    """Distributional MC fluvial transport at mesh scale
+    (parallel.fluvial_particles_sharded): bitwise == the single-device
+    estimator on a 1x1 mesh; statistical parity with conserved positive
+    channels on the 2x4 mesh (signed momentum channels shift a few %
+    under the documented trajectory chaos)."""
+    from soillib_tpu.models.erosion import _fluvial_particles
+    from soillib_tpu.models.simulation import erode_step
+    from soillib_tpu.parallel.particles import fluvial_particles_sharded
+
+    W = H = 32
+    h = 2.0 + 0.3 * jax.random.normal(jax.random.PRNGKey(0), (W, H))
+    p = soil.ErosionParams()
+    p.transportIterations = 8
+    p.maxage = 40
+    p.nSamples = 12000
+    st = soil.ErosionState.zeros((W, H), height=h)
+    sc = (0.078, 0.078, 4.0)
+    for i in range(3):
+        st = erode_step(st, sc, p, jax.random.PRNGKey(i))
+    k = jax.random.PRNGKey(99)
+    args = (st.layers, st.rainfall, st.discharge, st.momentum,
+            st.albedo_surface, sc, p, k)
+    ref = np.asarray(_fluvial_particles(*args))
+
+    mesh1 = par.make_mesh(
+        (1, 1), devices=np.array(jax.devices()[:1]).reshape(1, 1)
+    )
+    got1, d1 = fluvial_particles_sharded(*args, mesh1, slack=2.0)
+    assert int(d1) == 0
+    np.testing.assert_array_equal(np.asarray(got1), ref)
+
+    got8, d8 = fluvial_particles_sharded(*args, mesh, slack=2.0)
+    got8 = np.asarray(got8)
+    assert int(d8) == 0
+    for c in (0, 1, 2, 3):  # water, mass, momentum
+        assert np.corrcoef(got8[..., c].ravel(),
+                           ref[..., c].ravel())[0, 1] >= 0.99, c
+    # Positive-channel conservation (water): total flux to ~1e-3.
+    np.testing.assert_allclose(got8[..., 0].sum(), ref[..., 0].sum(),
+                               rtol=5e-3)
+
+
 def test_halo_overlap_schedule_equivalent(mesh, monkeypatch):
     """SOIL_HALO_OVERLAP=1 (interior/boundary-band split, exchange
     overlappable with interior compute) produces the same coupled step
