@@ -31,6 +31,7 @@ from soillib_tpu.parallel.mesh import (
 from soillib_tpu.parallel.halo import ShardHalo, exchange_axis
 from soillib_tpu.parallel.erosion import make_sharded_erode_fn, sharded_erode
 from soillib_tpu.parallel.particles import (
+    debris_particles_sharded,
     fluvial_particles_sharded,
     solve_particles_sharded,
 )
@@ -48,6 +49,7 @@ __all__ = [
     "make_sharded_erode_fn",
     "graph",
     "ops",
+    "debris_particles_sharded",
     "fluvial_particles_sharded",
     "shard_field",
     "shard_state",

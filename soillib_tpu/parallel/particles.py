@@ -450,3 +450,171 @@ def fluvial_particles_sharded(layers, rainfall, discharge, momentum,
         check_vma=False,
     )(layers, rain_full, discharge, momentum, albedo_surface, key)
     return flux, dropped
+
+
+def debris_particles_sharded(layers, mass, momentum, albedo_surface,
+                             scale, p, key, mesh, slack=1.5):
+    """Block-decomposed `_debris_particles` (erosion.cu:245-351) with
+    ICI particle migration. Returns ((W, H, 6) flux, dropped); parity
+    contract as `solve_particles_sharded`."""
+    from soillib_tpu.models.erosion import (
+        _EPS,
+        _length,
+        godunov_gradient,
+        merged_height,
+    )
+    from soillib_tpu.ops.transport import stepsize
+
+    W, H = mass.shape
+    sx, sy = float(scale[0]), float(scale[1])
+    A = sx * sy
+    Lvec = jnp.array([sx, sy], jnp.float32)
+    Llen = math.sqrt(sx * sx + sy * sy)
+    N = int(p.nSamples)
+    Q = A * W * H / N
+
+    theta = p.critSlopeBedrock
+    nu = p.viscosityDebris
+    tau = p.bedShearDebris
+    g = p.gravity
+    kl = p.landslideRateDebris
+    kdd = p.depositionRateDebris
+    kds = p.suspensionRateDebris
+    tau_y = p.yieldStress
+    exit_slope = p.exitSlope
+    maxage = int(p.maxage)
+
+    px, py = mesh.devices.shape
+    ax, ay = mesh.axis_names
+    bw, bh = W // px, H // py
+    assert bw * px == W and bh * py == H, "grid must divide the mesh"
+    n_blocks = px * py
+    M = int(math.ceil(N / n_blocks * slack)) + 64
+    cap = max(64, int(4 * M / min(bw, bh)) + 16)
+    halo = ShardHalo(mesh.devices.shape, mesh.axis_names)
+
+    def local(layers_b, mom_b, alb_b, key):
+        x0, y0, _, _ = halo.global_offsets((bw, bh))
+        grad_b = godunov_gradient(merged_height(layers_b), scale,
+                                  exit_slope, halo=halo)
+        grad_flat = jnp.moveaxis(grad_b, 0, -1).reshape(-1, 2)
+        mom_flat = jnp.moveaxis(mom_b, 0, -1).reshape(-1, 2)
+        alb_flat = jnp.moveaxis(alb_b, 0, -1).reshape(-1, 3)
+
+        ku, kv = jax.random.split(key)
+        gpos = jnp.stack(
+            [0.5 + jax.random.uniform(ku, (N,)) * (W - 1),
+             0.5 + jax.random.uniform(kv, (N,)) * (H - 1)], axis=-1)
+        mine = ((gpos[:, 0] >= x0) & (gpos[:, 0] < x0 + bw)
+                & (gpos[:, 1] >= y0) & (gpos[:, 1] < y0 + bh))
+        (pos,), taken, over0 = _take((gpos,), mine, M)
+        if pos.shape[0] < M:
+            padn = M - pos.shape[0]
+            pos = jnp.pad(pos, ((0, padn), (0, 0)))
+            taken = jnp.pad(taken, (0, padn))
+
+        def lind(pp):
+            pc = jnp.clip(pp, jnp.array([x0, y0], jnp.float32),
+                          jnp.array([x0 + bw - 1e-3, y0 + bh - 1e-3]))
+            return ((pc[:, 0].astype(jnp.int32) - x0) * bh
+                    + (pc[:, 1].astype(jnp.int32) - y0))
+
+        li0 = lind(pos)
+        vel0 = mom_flat[li0]
+        grad0 = grad_flat[li0]
+        speed = -(g * grad0) + nu * vel0
+        speed = speed / jnp.sqrt(
+            jnp.maximum(_length(Lvec[None, :] * speed), _EPS)
+        )[:, None]
+        alive = taken & (_length(speed) >= _EPS)
+
+        excess0 = _length(grad0) - theta
+        src_d = Q * jnp.maximum(0.0, kl * excess0)
+        src_v = Q * (-(g * grad0) + nu * vel0)
+        src_a = src_d[:, None] * alb_flat[li0]
+        gind = jnp.where(
+            alive,
+            pos[:, 0].astype(jnp.int32) * H + pos[:, 1].astype(jnp.int32),
+            -1,
+        )
+
+        flux0 = jnp.zeros((bw * bh, 6), jnp.float32)
+        rec0 = {"pos": pos, "att": jnp.ones((M, 2), jnp.float32),
+                "spd": speed, "sd": src_d, "sv": src_v, "sa": src_a,
+                "g": gind}
+
+        def body(_, carry):
+            flux, rec, alive, dropped = carry
+            rec, alive, d1 = _migrate_axis(
+                rec, alive, rec["pos"][:, 0], x0, x0 + bw, ax, px, cap)
+            rec, alive, d2 = _migrate_axis(
+                rec, alive, rec["pos"][:, 1], y0, y0 + bh, ay, py, cap)
+            dropped = dropped + d1 + d2
+            pos, att, speed = rec["pos"], rec["att"], rec["spd"]
+            gind = rec["g"]
+
+            x, y = pos[:, 0], pos[:, 1]
+            inb = (x >= 0) & (y >= 0) & (x < W) & (y < H)
+            alive = alive & inb
+
+            pc = jnp.clip(pos, 0.0, jnp.array([W - 1e-3, H - 1e-3]))
+            ngind = (pc[:, 0].astype(jnp.int32) * H
+                     + pc[:, 1].astype(jnp.int32))
+            entered = alive & (ngind != gind)
+            gind = jnp.where(entered, ngind, gind)
+            li = lind(pos)
+            dep = jnp.concatenate(
+                [(att[:, 0] * rec["sd"])[:, None],
+                 att[:, 1:2] * rec["sv"],
+                 att[:, 0:1] * rec["sa"]], axis=-1)
+            flux = flux.at[li].add(jnp.where(entered[:, None], dep, 0.0))
+
+            v_norm = _length(speed)
+            ok = v_norm >= _EPS
+            alive = alive & ok
+            v_unit = speed / jnp.maximum(v_norm, _EPS)[:, None]
+            stp = stepsize(pos, v_unit)
+            dL = stp * Llen
+            ds = dL / jnp.maximum(v_norm, _EPS)
+
+            gradp = grad_flat[li]
+            debrisHeight = _EPS + att[:, 0] * rec["sd"]
+            accel = -(g * gradp) + nu * mom_flat[li]
+            decay = nu + tau / debrisHeight
+            w1 = 1.0 / (1.0 + dL * decay)
+            new_speed = w1[:, None] * speed + (w1 * dL)[:, None] * accel
+
+            excess = _length(gradp) - theta
+            excessStress = g * (excess - tau_y / debrisHeight)
+            shearRate = jnp.where(excessStress < 0.0, kdd, kds)
+            decay_d = (ds * shearRate * excessStress
+                       / jnp.maximum(v_norm, _EPS))
+            new_att = jnp.stack(
+                [att[:, 0] * jnp.exp(decay_d),
+                 att[:, 1] * jnp.exp(-dL * decay)], axis=-1)
+            new_pos = pos + stp[:, None] * v_unit
+
+            rec = {
+                "pos": jnp.where(alive[:, None], new_pos, pos),
+                "att": jnp.where(alive[:, None], new_att, att),
+                "spd": jnp.where(alive[:, None], new_speed, speed),
+                "sd": rec["sd"], "sv": rec["sv"], "sa": rec["sa"],
+                "g": gind,
+            }
+            return flux, rec, alive, dropped
+
+        flux, _, _, dropped = lax.fori_loop(
+            0, max(maxage - 1, 0), body,
+            (flux0, rec0, alive, over0.astype(jnp.int32)),
+        )
+        dropped = lax.psum(lax.psum(dropped, ax), ay)
+        return flux.reshape(bw, bh, 6), dropped
+
+    cf = P(None, ax, ay)
+    flux, dropped = shard_map(
+        local, mesh=mesh,
+        in_specs=(cf, cf, cf, P()),
+        out_specs=(P(ax, ay, None), P()),
+        check_vma=False,
+    )(layers, momentum, albedo_surface, key)
+    return flux, dropped

@@ -438,6 +438,48 @@ def test_sharded_fluvial_particles(mesh):
                                rtol=5e-3)
 
 
+def test_sharded_debris_particles(mesh):
+    """Sharded debris MC (parallel.debris_particles_sharded): bitwise
+    on 1x1; on 2x4 the short-range debris trajectories reproduce the
+    single-device mass deposits near-exactly (physical-slope terrain —
+    the rheology is exponentially unstable beyond the yield balance,
+    like the reference, so steep random terrain is excluded here as in
+    test_sharded_erosion_step_matches_single_device)."""
+    from soillib_tpu.models.erosion import _debris_particles
+    from soillib_tpu.models.simulation import erode_step
+    from soillib_tpu.parallel.particles import debris_particles_sharded
+
+    W = H = 32
+    h = 2.0 + 0.04 * jax.random.normal(jax.random.PRNGKey(0), (W, H))
+    p = soil.ErosionParams()
+    p.transportIterations = 8
+    p.maxage = 40
+    p.nSamples = 12000
+    st = soil.ErosionState.zeros((W, H), height=h)
+    sc = (0.078, 0.078, 4.0)
+    for i in range(3):
+        st = erode_step(st, sc, p, jax.random.PRNGKey(i))
+    k = jax.random.PRNGKey(99)
+    args = (st.layers, st.mass, st.momentum, st.albedo_surface, sc, p, k)
+    ref = np.asarray(_debris_particles(*args))
+    assert np.isfinite(ref).all()
+
+    mesh1 = par.make_mesh(
+        (1, 1), devices=np.array(jax.devices()[:1]).reshape(1, 1)
+    )
+    got1, d1 = debris_particles_sharded(*args, mesh1, slack=2.0)
+    assert int(d1) == 0
+    np.testing.assert_array_equal(np.asarray(got1), ref)
+
+    got8, d8 = debris_particles_sharded(*args, mesh, slack=2.0)
+    got8 = np.asarray(got8)
+    assert int(d8) == 0
+    assert np.corrcoef(got8[..., 0].ravel(),
+                       ref[..., 0].ravel())[0, 1] >= 0.999
+    np.testing.assert_allclose(got8[..., 0].sum(), ref[..., 0].sum(),
+                               rtol=1e-4)
+
+
 def test_halo_overlap_schedule_equivalent(mesh, monkeypatch):
     """SOIL_HALO_OVERLAP=1 (interior/boundary-band split, exchange
     overlappable with interior compute) produces the same coupled step
