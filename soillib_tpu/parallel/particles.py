@@ -86,12 +86,19 @@ def _merge(rec, alive, buf, valid):
     return rec, alive, jnp.sum(valid) - jnp.sum(ok)
 
 
-def _migrate_axis(rec, alive, coord, lo, hi, axis_name, n_blocks, cap):
-    """Move records whose `coord` left [lo, hi) to the -/+ neighbor
+def _migrate_axis(rec, alive, get_coord, lo, hi, axis_name, n_blocks, cap):
+    """Move records whose coordinate left [lo, hi) to the -/+ neighbor
     along `axis_name`. Non-wrapping: global-edge leavers die (the
-    single-device in-bounds kill). Returns (rec, alive, dropped)."""
+    single-device in-bounds kill). Returns (rec, alive, dropped).
+
+    `get_coord` is re-evaluated on the CURRENT record each phase: the
+    +1 phase's merge can seat an arrival in a slot whose previous
+    occupant left toward -1 in an earlier round, and a mask computed
+    against the entry-time coordinate array would re-migrate that
+    arrival by the stale value."""
     dropped = jnp.zeros((), jnp.int32)
     for sign in (+1, -1):
+        coord = get_coord(rec)
         m = alive & ((coord >= hi) if sign > 0 else (coord < lo))
         buf, valid, over = _take(rec, m, cap)
         alive = alive & ~m  # leavers (incl. overflow) vacate this block
@@ -216,9 +223,11 @@ def solve_particles_sharded(flow, source, decay, scale, count, key, mesh,
 
             # -- migrate first: everything below is block-local.
             rec, alive, d1 = _migrate_axis(
-                rec, alive, rec["pos"][:, 0], x0, x0 + bw, ax, px, cap)
+                rec, alive, lambda r: r["pos"][:, 0], x0, x0 + bw, ax,
+                px, cap)
             rec, alive, d2 = _migrate_axis(
-                rec, alive, rec["pos"][:, 1], y0, y0 + bh, ay, py, cap)
+                rec, alive, lambda r: r["pos"][:, 1], y0, y0 + bh, ay,
+                py, cap)
             pos, att, S_, gind = rec["pos"], rec["att"], rec["S"], rec["g"]
             dropped = dropped + d1 + d2
 
@@ -381,9 +390,11 @@ def fluvial_particles_sharded(layers, rainfall, discharge, momentum,
         def body(_, carry):
             flux, rec, alive, dropped = carry
             rec, alive, d1 = _migrate_axis(
-                rec, alive, rec["pos"][:, 0], x0, x0 + bw, ax, px, cap)
+                rec, alive, lambda r: r["pos"][:, 0], x0, x0 + bw, ax,
+                px, cap)
             rec, alive, d2 = _migrate_axis(
-                rec, alive, rec["pos"][:, 1], y0, y0 + bh, ay, py, cap)
+                rec, alive, lambda r: r["pos"][:, 1], y0, y0 + bh, ay,
+                py, cap)
             dropped = dropped + d1 + d2
             pos, att, speed = rec["pos"], rec["att"], rec["spd"]
             gind = rec["g"]
@@ -546,9 +557,11 @@ def debris_particles_sharded(layers, mass, momentum, albedo_surface,
         def body(_, carry):
             flux, rec, alive, dropped = carry
             rec, alive, d1 = _migrate_axis(
-                rec, alive, rec["pos"][:, 0], x0, x0 + bw, ax, px, cap)
+                rec, alive, lambda r: r["pos"][:, 0], x0, x0 + bw, ax,
+                px, cap)
             rec, alive, d2 = _migrate_axis(
-                rec, alive, rec["pos"][:, 1], y0, y0 + bh, ay, py, cap)
+                rec, alive, lambda r: r["pos"][:, 1], y0, y0 + bh, ay,
+                py, cap)
             dropped = dropped + d1 + d2
             pos, att, speed = rec["pos"], rec["att"], rec["spd"]
             gind = rec["g"]
