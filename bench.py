@@ -301,7 +301,7 @@ def cohort_round_ops(costs, albedo_on=True):
     return total
 
 
-def step_bytes_per_cell(iters: int, albedo_on=True) -> float:
+def step_bytes_per_cell(iters: int, albedo_on=True, grid=None) -> float:
     """Minimum HBM traffic per cell per coupled step with the temporally-
     blocked cohort passes (ops/cohort.py, K=16 rounds per pass): each pass
     reads the (NSTATE+C)-channel state window, the (3+A)-channel aux
@@ -316,8 +316,9 @@ def step_bytes_per_cell(iters: int, albedo_on=True) -> float:
         S = NSTATE + C
         # K is geometry-dependent now (choose_geometry shrinks the
         # window — and may shrink K — as the state grows; the round-3
-        # fixed-K model undercounted passes for fat states).
-        k = choose_geometry(S, 3 + A, C).k
+        # fixed-K model undercounted passes for fat states). Pass the
+        # grid so the modeled K matches the kernel's actual choice.
+        k = choose_geometry(S, 3 + A, C, grid=grid).k
         passes = -(-iters // k)
         per_pass = (S + (3 + A) + C) * 4  # window + old-G reads
         per_pass += (S + C) * 4           # state + deposit write-back
@@ -400,7 +401,7 @@ def main():
     # achievable number, so take the max over repeats.
     bw = max(measure_stream_bw() for _ in range(3))
     albedo_on = args.albedo == "on"
-    hbm_sol = bw / step_bytes_per_cell(args.iters, albedo_on)
+    hbm_sol = bw / step_bytes_per_cell(args.iters, albedo_on, (W, H))
 
     vpu_ops, costs = measure_vpu()
     round_ops = cohort_round_ops(costs, albedo_on)
@@ -412,7 +413,7 @@ def main():
     sol = min(hbm_sol, compute_sol)
     print(
         f"[roofline] stream bw {bw/1e9:.0f} GB/s, "
-        f"bytes/cell-step {step_bytes_per_cell(args.iters, albedo_on):.0f} "
+        f"bytes/cell-step {step_bytes_per_cell(args.iters, albedo_on, (W, H)):.0f} "
         f"-> HBM SoL {hbm_sol/1e6:.1f} M/s | "
         f"VPU {vpu_ops/1e12:.2f} Top/s "
         f"(exp {costs['exp']:.1f}, div {costs['div']:.1f}, "
@@ -440,7 +441,7 @@ def main():
                 "compute_sol": round(compute_sol, 1),
                 "bw_bytes_per_s": round(bw, 1),
                 "bytes_per_cell_step": round(
-                    step_bytes_per_cell(args.iters, albedo_on), 1
+                    step_bytes_per_cell(args.iters, albedo_on, (W, H)), 1
                 ),
                 "vpu_ops_per_s": round(vpu_ops, 1),
                 "vpu_ops_per_cell_step": round(ops_per_cell_step, 1),
