@@ -480,6 +480,29 @@ def test_sharded_debris_particles(mesh):
                                rtol=1e-4)
 
 
+def test_sharded_particles_overflow_is_graceful(mesh):
+    """Slot-capacity overflow under adversarial flow (everything
+    concentrating into one block with slack=1.0) must DEGRADE, not
+    corrupt: overflowing particles are killed and counted in the
+    returned drop counter, the flux stays finite and nonnegative."""
+    from soillib_tpu.parallel.particles import solve_particles_sharded
+
+    W, H = 32, 48
+    yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W))
+    flow = jnp.stack(
+        [jnp.where(xx < 28, 1.0, 0.1), jnp.where(yy < 40, 1.0, 0.1)],
+        axis=-1,
+    ).astype(jnp.float32)
+    got, dropped = solve_particles_sharded(
+        flow, jnp.ones((W, H), jnp.float32), jnp.full((W, H), 0.01),
+        (0.5, 0.5), 16000, jax.random.PRNGKey(1), mesh, slack=1.0,
+    )
+    got = np.asarray(got)
+    assert int(dropped) > 0  # the overflow IS reported
+    assert np.isfinite(got).all()
+    assert (got >= 0).all()
+
+
 def test_halo_overlap_schedule_equivalent(mesh, monkeypatch):
     """SOIL_HALO_OVERLAP=1 (interior/boundary-band split, exchange
     overlappable with interior compute) produces the same coupled step
