@@ -67,6 +67,7 @@ def test_all_examples_smoke(demdir, tmp_path):
         ("erosion_tpu",
          ["--res", 48, "--steps", 2, "--report", 2, "--out", f"{t}/ero"]),
         ("erosion_pod", ["--res", 64, "--steps", 2, "--virtual", 8]),
+        ("dem_mc_pod", ["--res", 64, "--count", 6000, "--virtual", 8]),
         ("erosion_tpu_multiscale",
          ["--levels", "48:2,64:1", "--out", f"{t}/ms"]),
         ("dem_condition", ["--res", 48, "--out", f"{t}/cond.png"]),
