@@ -48,8 +48,8 @@ def main():
 
     # Terrain -> a smooth downslope flow field with structure.
     height = soil.noise(res, soil.noise_t(seed=3.0, ext=res))
-    grad = soil.gradient(height, (0.5, 0.5))  # (2, W, H)
-    flow = jnp.moveaxis(-grad, 0, -1) + 0.02
+    grad = soil.gradient(height, (0.5, 0.5))  # already channel-LAST (W, H, 2)
+    flow = -grad + 0.02
     source = jnp.ones(res, jnp.float32)
     decay = jnp.full(res, 0.02, jnp.float32)
 

@@ -47,6 +47,39 @@ def shift_lengths(edge: int) -> np.ndarray:
     return np.sqrt((sh ** 2).sum(axis=-1))
 
 
+def check_channel_last(name: str, arr, channels=(2,)):
+    """Validate that `arr` is a channel-LAST (W, H, C) field.
+
+    The ops layer (gradient / solve_uniform flow fields) is channel-last
+    for grad.cu view parity, while models/parallel state is channel-FIRST
+    (C, W, H) for TPU lane efficiency. This seam is easy to trip — a
+    mis-laid-out array silently reads garbage W/H — so every channel-last
+    entry point validates here and names the expected layout.
+    """
+    shape = tuple(arr.shape)
+    if len(shape) != 3 or shape[-1] not in tuple(channels):
+        want = "|".join(str(c) for c in channels)
+        raise ValueError(
+            f"{name} must be channel-LAST (W, H, {want}); got shape {shape}. "
+            f"Note: soil.gradient already returns (W, H, 2) — do not moveaxis "
+            f"it. Models/parallel state is channel-FIRST (C, W, H); ops-layer "
+            f"flow/gradient fields are channel-LAST."
+        )
+
+
+def check_channel_first(name: str, arr, channels):
+    """Validate that `arr` is a channel-FIRST (C, W, H) field (the
+    models/parallel convention; see check_channel_last)."""
+    shape = tuple(arr.shape)
+    if len(shape) != 3 or shape[0] not in tuple(channels):
+        want = "|".join(str(c) for c in channels)
+        raise ValueError(
+            f"{name} must be channel-FIRST ({want}, W, H); got shape {shape}. "
+            f"Models/parallel state is channel-FIRST; only ops-layer "
+            f"flow/gradient fields are channel-LAST (W, H, C)."
+        )
+
+
 @dataclasses.dataclass(frozen=True)
 class Shape:
     """Static 2-D (optionally channelled) index space, like `silt::shape`.

@@ -183,7 +183,7 @@ def _sweep_call(Gp, Ep, Ap, Vx, Vy, *, rounds, grid_wh, interpret):
     gw, gh = grid_wh
     n_tiles = gw * gh
     kernel = functools.partial(_sweep_kernel, rounds, C, gh, n_tiles)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),

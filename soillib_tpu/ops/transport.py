@@ -455,6 +455,15 @@ def solve_uniform(
     flow = jnp.asarray(flow, jnp.float32)
     source = jnp.asarray(source, jnp.float32)
     decay = jnp.asarray(decay, jnp.float32)
+    from soillib_tpu.core.grid import check_channel_last
+
+    check_channel_last("flow", flow, channels=(2,))
+    if source.ndim == 3 and source.shape[2] > 2:
+        raise ValueError(
+            f"source must be (W, H) or channel-LAST (W, H, K<=2); got "
+            f"shape {tuple(source.shape)} (path.cu:192-214 dispatches on "
+            f"the trailing channel dim)."
+        )
     W, H = flow.shape[0], flow.shape[1]
     A = float(scale[0]) * float(scale[1])
 

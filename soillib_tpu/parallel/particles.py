@@ -158,9 +158,16 @@ def solve_particles_sharded(flow, source, decay, scale, count, key, mesh,
     why per-cell bitwise multi-block parity is impossible.  `dropped` >
     0 means a capacity overflow somewhere — re-run with more `slack`
     (the parity test asserts 0)."""
+    from soillib_tpu.core.grid import check_channel_last
     from soillib_tpu.ops.transport import stepsize
 
+    check_channel_last("flow", flow, channels=(2,))
     W, H = flow.shape[0], flow.shape[1]
+    if source.shape[:2] != (W, H):
+        raise ValueError(
+            f"source spatial shape {tuple(source.shape[:2])} does not match "
+            f"flow's (W, H) = {(W, H)}; flow must be channel-LAST (W, H, 2)."
+        )
     squeeze = source.ndim == 2
     src3 = source[..., None] if squeeze else source
     K = src3.shape[2]
@@ -296,8 +303,12 @@ def fluvial_particles_sharded(layers, rainfall, discharge, momentum,
         godunov_gradient,
         merged_height,
     )
+    from soillib_tpu.core.grid import check_channel_first
     from soillib_tpu.ops.transport import stepsize
 
+    check_channel_first("layers", layers, channels=(2,))
+    check_channel_first("momentum", momentum, channels=(2,))
+    check_channel_first("albedo_surface", albedo_surface, channels=(3,))
     W, H = discharge.shape
     sx, sy = float(scale[0]), float(scale[1])
     A = sx * sy
@@ -474,8 +485,12 @@ def debris_particles_sharded(layers, mass, momentum, albedo_surface,
         godunov_gradient,
         merged_height,
     )
+    from soillib_tpu.core.grid import check_channel_first
     from soillib_tpu.ops.transport import stepsize
 
+    check_channel_first("layers", layers, channels=(2,))
+    check_channel_first("momentum", momentum, channels=(2,))
+    check_channel_first("albedo_surface", albedo_surface, channels=(3,))
     W, H = mass.shape
     sx, sy = float(scale[0]), float(scale[1])
     A = sx * sy

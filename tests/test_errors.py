@@ -43,6 +43,43 @@ def test_sharded_erosion_rejects_particles():
         par.make_sharded_erode_fn(mesh, (0.1, 0.1, 1.0), p)
 
 
+def test_layout_seam_fails_loudly():
+    """Channel-layout misuse (the dem_mc_pod regression class) must raise
+    a layout-naming error, not silently read garbage W/H."""
+    from soillib_tpu.parallel.particles import solve_particles_sharded
+
+    mesh = par.make_mesh()
+    W = H = 8
+    bad_flow = jnp.zeros((W, 2, H))  # channel-first by mistake
+    src = jnp.ones((W, H))
+    dec = jnp.zeros((W, H))
+    with pytest.raises(ValueError, match="channel-LAST"):
+        solve_particles_sharded(bad_flow, src, dec, (1.0, 1.0), 64,
+                                jax.random.PRNGKey(0), mesh)
+    with pytest.raises(ValueError, match="channel-LAST"):
+        soil.solve_uniform(bad_flow, src, dec, (1.0, 1.0))
+    # Mismatched source spatial shape also names the convention.
+    good_flow = jnp.zeros((W, H, 2))
+    with pytest.raises(ValueError, match="W, H"):
+        solve_particles_sharded(good_flow, jnp.ones((H, 4)), dec,
+                                (1.0, 1.0), 64, jax.random.PRNGKey(0), mesh)
+
+
+def test_fluvial_sharded_rejects_channel_last_state():
+    from soillib_tpu.parallel.particles import fluvial_particles_sharded
+
+    mesh = par.make_mesh()
+    st = soil.ErosionState.zeros((8, 8), height=jnp.ones((8, 8)))
+    p = soil.ErosionParams()
+    p.nSamples = 64
+    bad_layers = jnp.moveaxis(st.layers, 0, -1)  # (W, H, 2) by mistake
+    with pytest.raises(ValueError, match="channel-FIRST"):
+        fluvial_particles_sharded(
+            bad_layers, st.rainfall, st.discharge, st.momentum,
+            st.albedo_surface, (0.5, 0.5, 2.0), p, jax.random.PRNGKey(0),
+            mesh)
+
+
 def test_distributed_accumulate_rejects_indivisible_grid():
     mesh = par.make_mesh()  # (2, 4)
     h = jnp.ones((10, 10))  # 10 % 4 != 0

@@ -19,6 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import soillib_tpu as soil  # noqa: F401  (registers channel layout)
 from soillib_tpu.models.erosion import make_fluvial_rules
 from soillib_tpu.models.params import ErosionParams
