@@ -56,13 +56,17 @@ class Halo:
         Sharded: K-blocked ppermute halo exchange."""
         raise NotImplementedError
 
-    def run_cohort(self, st0, aux, rules, iters: int, Llen, closure=None):
+    def run_cohort(self, st0, aux, rules, iters: int, Llen, closure=None,
+                   tol: float = 0.0):
         """`iters` rounds of the age-structured cohort sweep (nonlinear
         per-particle state transport, ops/cohort.py) -> (C, W, H)
         deposits. Single-device: the temporally-blocked Pallas cohort
         kernel on TPU. Sharded: K-blocked ppermute exchange of the
         cohort state. `closure` is an ops.cohort.CohortClosure (None ->
-        the SOIL_COHORT_* env defaults)."""
+        the SOIL_COHORT_* env defaults). `tol` > 0 enables the
+        convergence-adaptive depth exit (ops/cohort.py carried_live):
+        `iters` becomes an upper bound and rounds run only while
+        cohorts still carry deposit mass above tol."""
         raise NotImplementedError
 
 
@@ -89,10 +93,12 @@ class NoHalo(Halo):
 
         return sweep.run_transport(E, att, vx, vy, iters)
 
-    def run_cohort(self, st0, aux, rules, iters: int, Llen, closure=None):
+    def run_cohort(self, st0, aux, rules, iters: int, Llen, closure=None,
+                   tol: float = 0.0):
         from soillib_tpu.ops import cohort
 
-        return cohort.run_cohort(st0, aux, rules, iters, Llen, closure)
+        return cohort.run_cohort(st0, aux, rules, iters, Llen, closure,
+                                 tol=tol)
 
 
 NO_HALO = NoHalo()

@@ -252,7 +252,7 @@ def _build_cohort_state(w0, speed, carried0, closure):
 
 
 def _run_cohort_colored(halo, w0, speed, carried0, aux, rules, iters,
-                        Llen, closure):
+                        Llen, closure, tol=0.0):
     """Cohort solve, optionally split into `closure.colors` disjoint
     birth sub-populations whose deposits sum (transport is linear in
     sources — identical physics, finer mixture representation; see
@@ -264,13 +264,15 @@ def _run_cohort_colored(halo, w0, speed, carried0, aux, rules, iters,
     M = int(getattr(cl, "colors", 1) or 1)
     if M <= 1:
         st0 = _build_cohort_state(w0, speed, carried0, cl)
-        return halo.run_cohort(st0, aux, rules, iters, Llen, closure)
+        return halo.run_cohort(st0, aux, rules, iters, Llen, closure,
+                               tol=tol)
     masks = _color_masks(M, cl.color_rule, speed, w0.shape, halo)
     G = None
     for mk in masks:
         st0 = _build_cohort_state(w0 * mk, speed,
                                   [c * mk for c in carried0], cl)
-        g = halo.run_cohort(st0, aux, rules, iters, Llen, closure)
+        g = halo.run_cohort(st0, aux, rules, iters, Llen, closure,
+                            tol=tol)
         G = g if G is None else G + g
     return G
 
@@ -508,7 +510,7 @@ def _fluvial_cohort(t, rainfall, discharge, p, iters, halo=NO_HALO):
     )
     aux = (accel[0], accel[1], jnp.ones_like(discharge), rate_v)
     return _run_cohort_colored(halo, bd, speed, carried0, aux, rules,
-                               iters, Llen, p.closure)
+                               iters, Llen, p.closure, tol=p.transportTol)
 
 
 def _fluvial_field(t, discharge, p, iters, halo=NO_HALO):
@@ -817,7 +819,8 @@ def transport_debris(
         #        rules aux...) — see ops/cohort.py layout.
         aux = (accel[0], accel[1], jnp.ones_like(excess0), excess0)
         Gcf = _run_cohort_colored(halo, w0, speed, carried0, aux, rules,
-                                  iters, Llen, p.closure)
+                                  iters, Llen, p.closure,
+                                  tol=p.transportTol)
     elif method == "particles":
         if halo is not NO_HALO:
             raise NotImplementedError(

@@ -76,6 +76,16 @@ class ErosionParams:
     nSamples: int = 8192       # particle count (ref: rng.elem(); old `samples`)
     transportMethod: str = "field"     # "field" | "particles"
     transportIterations: int = 0       # 0 -> use maxage
+    # Convergence-adaptive transport depth (field method only): > 0 makes
+    # the round count an UPPER bound — the cohort solve exits once the
+    # remaining-deposit bound (live carried mass x rounds left) drops
+    # below this fraction of the accumulated deposits per channel
+    # (ops/cohort.py carried_live). At 1e-6 the result matches the fixed
+    # full-depth solve to f32 roundoff while costing only the rounds
+    # that still move mass — this is what makes the reference-faithful
+    # depth (maxage-2 rounds, erosion.cu:101) affordable on TPU.
+    # Forward-only (lax.while_loop); keep 0.0 for differentiable solves.
+    transportTol: float = 0.0
     # Albedo instrumentation toggle: albedo never feeds back into the
     # height/water/debris dynamics, so turning it off changes no
     # prognostic field while dropping 3 carried channels from each

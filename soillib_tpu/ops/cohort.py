@@ -1008,21 +1008,79 @@ def n_deposits(S, closure=None):
     return per - NSTATE
 
 
-def cohort_advance_reference(st0, aux, rules, iters, Llen, *, closure=None):
+def carried_live(ST, closure=None):
+    """Per-deposit-channel live carried mass: sum over ensembles (nodes)
+    and cells of |carried|, (C,) float32.  This bounds the deposits any
+    FUTURE round can add — every transit factor is <= 1 (attenuation
+    rates are clamped non-negative) and each round deposits at most the
+    arriving carried totals — so `carried_live(ST) * rounds_remaining`
+    bounds the tail of the deposit sum.  The convergence-adaptive solves
+    stop when that bound drops below `tol` of the accumulated deposits
+    (f32-roundoff-equivalent to running the full fixed depth; see
+    cohort_advance).  The reference runs its trajectory loop to the
+    fixed maxage bound instead (erosion.cu:101) — on GPU dead particles
+    are cheap warp-idle lanes; on TPU whole dead ROUNDS are full-cost
+    HBM passes, which is why the faithful-depth default wants the exit."""
+    S = ST.shape[0]
+    C = n_deposits(S, closure)
+    P = NSTATE + C
+    ngroups = S // P
+    live = None
+    for j in range(ngroups):
+        blk = ST[j * P + NSTATE:(j + 1) * P]
+        s = jnp.sum(jnp.abs(blk), axis=(1, 2))
+        live = s if live is None else live + s
+    return live
+
+
+def deposit_gauge(G):
+    """Per-channel deposit magnitude gauge, (C,) float32 (see
+    carried_live)."""
+    return jnp.sum(jnp.abs(G), axis=(1, 2))
+
+
+def tail_converged(live, gauge, remaining_rounds, tol):
+    """True once every channel's remaining-deposit bound is below tol of
+    its accumulated deposits (replicated scalar; psum live/gauge first
+    under shard_map)."""
+    rem = jnp.asarray(remaining_rounds, jnp.float32)
+    return jnp.all(live * rem <= jnp.float32(tol) * gauge)
+
+
+def cohort_advance_reference(st0, aux, rules, iters, Llen, *, closure=None,
+                             tol=0.0):
     """jnp fallback: one padded push per round (exact, no blocking).
-    Returns (advanced state, deposits)."""
+    Returns (advanced state, deposits).  `tol` > 0 adds the per-round
+    convergence exit (see carried_live)."""
     st0 = as_stack(st0)
     aux = as_stack(aux)
     C = n_deposits(st0.shape[0], closure)
+    G0 = jnp.zeros((C,) + st0.shape[1:], st0.dtype)
+
+    if tol and tol > 0.0:
+        def cond(carry):
+            i, st, G = carry
+            live = carried_live(st, closure)
+            return (i < iters) & ~tail_converged(
+                live, deposit_gauge(G), jnp.float32(iters) - i, tol
+            )
+
+        def body(carry):
+            i, st, G = carry
+            st, G = cohort_round(st, G, aux, rules, Llen, shift_push,
+                                 closure)
+            return i + 1.0, st, G
+
+        _, st, G = jax.lax.while_loop(
+            cond, body, (jnp.float32(0.0), st0, G0)
+        )
+        return st, G
 
     def body(_, carry):
         st, G = carry
         return cohort_round(st, G, aux, rules, Llen, shift_push, closure)
 
-    return jax.lax.fori_loop(
-        0, int(iters), body,
-        (st0, jnp.zeros((C,) + st0.shape[1:], st0.dtype)),
-    )
+    return jax.lax.fori_loop(0, int(iters), body, (st0, G0))
 
 
 def _cohort_kernel(rounds, S, C, gh, n_tiles, Llen, rules, closure, geom,
@@ -1138,7 +1196,7 @@ def _cohort_call(STp, AUXp, G, rules, rounds, Llen, grid_wh, interpret,
         _cohort_kernel(rounds, S, C, gh, n_tiles, Llen, rules, closure,
                        geom, *refs)
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -1166,7 +1224,7 @@ def _cohort_call(STp, AUXp, G, rules, rounds, Llen, grid_wh, interpret,
 
 
 def cohort_advance(st0, aux, rules, iters, Llen, *, interpret=False,
-                   closure=None, geometry=None):
+                   closure=None, geometry=None, tol=0.0):
     """`iters` cohort transit rounds with K-blocked HBM passes.
 
     Args:
@@ -1185,6 +1243,16 @@ def cohort_advance(st0, aux, rules, iters, Llen, *, interpret=False,
         efficient window that fits the VMEM budget at these channel
         counts — the S-dependence that keeps state growth from VMEM-
         faulting Mosaic, the round-3 4096² bench crash).
+      tol: > 0 enables the convergence-adaptive exit between K-blocks:
+        the pass loop stops once `carried_live(state) * rounds_remaining
+        <= tol * deposit_gauge(G)` per channel — the skipped tail is
+        bounded below tol of the accumulated deposits, so the result
+        matches the fixed-depth solve to f32 roundoff at tol ~1e-6
+        (tests/test_cohort_adaptive.py).  This is what makes the
+        reference-faithful default depth (maxage-2 = 510 rounds,
+        erosion.cu:101) affordable: rounds run only while cohorts still
+        carry weight.  Forward-only (lax.while_loop); keep tol=0 for
+        differentiable solves.
     Returns:
       (advanced (NSTATE+C, W, H) state, (C, W, H) accumulated deposits),
       matching `cohort_advance_reference` to f32 roundoff.
@@ -1234,6 +1302,41 @@ def cohort_advance(st0, aux, rules, iters, Llen, *, interpret=False,
         return STp, G
 
     n_full, rem = divmod(int(iters), K)
+    if tol and tol > 0.0 and n_full:
+        # Convergence-adaptive pass loop.  The live/gauge reductions read
+        # the padded state's carried channels + G once per pass (~15% of
+        # the kernel pass's own HBM traffic) — the price of cutting the
+        # faithful 510-round depth down to the rounds that still carry
+        # weight.  The padded ring/pad cells are included in the sums:
+        # they hold at most one round of arrivals into the kill zone
+        # (dead cells never re-emit), so they only delay the exit by at
+        # most one pass, never allow an early one.
+        def cond(carry):
+            i, STp, G = carry
+            live = carried_live(STp, closure)
+            remaining = jnp.float32(iters) - jnp.float32(K) * i
+            return (i < n_full) & ~tail_converged(
+                live, deposit_gauge(G), remaining, tol
+            )
+
+        def body(carry):
+            i, STp, G = carry
+            STp, G = one_pass(STp, G, K)
+            return i + 1.0, STp, G
+
+        _, STp, G = jax.lax.while_loop(
+            cond, body, (jnp.float32(0.0), STp, G)
+        )
+        if rem:
+            # Skip the static tail pass too once converged (its deposits
+            # sit under the same bound).
+            live = carried_live(STp, closure)
+            done = tail_converged(live, deposit_gauge(G), rem, tol)
+            STp, G = jax.lax.cond(
+                done, lambda st, g: (st, g),
+                lambda st, g: one_pass(st, g, rem), STp, G,
+            )
+        return STp[:, K:K + W, K:K + H], G[:, :W, :H]
     if n_full:
         # lax.scan, NOT a Python loop: unrolled passes compile one pallas
         # call per pass and the TPU scheduler hoists the calls above the
@@ -1255,10 +1358,10 @@ def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def run_cohort(st0, aux, rules, iters, Llen, closure=None):
+def run_cohort(st0, aux, rules, iters, Llen, closure=None, tol=0.0):
     """Backend-dispatched single-device cohort solve -> deposits."""
     if use_pallas():
         return cohort_advance(st0, aux, rules, int(iters), Llen,
-                              closure=closure)[1]
+                              closure=closure, tol=tol)[1]
     return cohort_advance_reference(st0, aux, rules, int(iters), Llen,
-                                    closure=closure)[1]
+                                    closure=closure, tol=tol)[1]

@@ -203,12 +203,17 @@ class ShardHalo(Halo):
             G = self.crop_cf(advance(Gp, Ep, attp, vxp, vyp, rem), K)
         return G
 
-    def run_cohort(self, st0, aux, rules, iters: int, Llen, closure=None):
+    def run_cohort(self, st0, aux, rules, iters: int, Llen, closure=None,
+                   tol: float = 0.0):
         """K-blocked distributed cohort sweep: exchange a K-wide ring of
         the cohort state per K rounds, advance the K rounds block-locally
         (the Pallas cohort kernel on TPU, the jnp loop elsewhere), keep
         the block interior of state and deposits. Same trapezoid argument
         as `run_transport`, applied to the nonlinear round.
+
+        `tol` > 0 enables the convergence-adaptive depth exit between
+        passes; the live/gauge channel sums are psum'd over the mesh so
+        every block takes the identical (replicated) exit decision.
 
         Falls back to a per-round 1-cell exchange for blocks narrower
         than K."""
@@ -220,7 +225,7 @@ class ShardHalo(Halo):
         bw, bh = st0.shape[-2], st0.shape[-1]
         if bw < K or bh < K:
             return self._run_cohort_per_round(
-                st0, aux, rules, iters, Llen, closure
+                st0, aux, rules, iters, Llen, closure, tol
             )
 
         auxp = self.pad_cf(aux, 0.0, K)
@@ -286,6 +291,41 @@ class ShardHalo(Halo):
                     paste(gi, g_xl, g_xh, g_yl, g_yh))
 
         one_pass = pass_overlap if overlap else pass_seq
+
+        def live_gauge(ST, G):
+            """Mesh-global (psum'd, replicated) convergence metrics."""
+            names = (self.ax_name, self.ay_name)
+            live = jax.lax.psum(CO.carried_live(ST, closure), names)
+            gauge = jax.lax.psum(CO.deposit_gauge(G), names)
+            return live, gauge
+
+        if tol and tol > 0.0 and n_full:
+            def cond(carry):
+                i, ST, G = carry
+                live, gauge = live_gauge(ST, G)
+                remaining = jnp.float32(iters) - jnp.float32(K) * i
+                return (i < n_full) & ~CO.tail_converged(
+                    live, gauge, remaining, tol
+                )
+
+            def body(carry):
+                i, ST, G = carry
+                stn, gp = one_pass(ST, K)
+                return i + 1.0, stn, G + gp
+
+            _, ST, G = jax.lax.while_loop(
+                cond, body, (jnp.float32(0.0), ST, G)
+            )
+            if rem:
+                live, gauge = live_gauge(ST, G)
+                done = CO.tail_converged(live, gauge, rem, tol)
+
+                def tail(st, g):
+                    _, gp = one_pass(st, rem)
+                    return g + gp
+
+                G = jax.lax.cond(done, lambda st, g: g, tail, ST, G)
+            return G
         if n_full:
             # lax.scan bounds buffer liveness to one pass (see
             # ops/cohort.py cohort_advance).
@@ -301,8 +341,9 @@ class ShardHalo(Halo):
         return G
 
     def _run_cohort_per_round(self, st0, aux, rules, iters: int, Llen,
-                              closure=None):
+                              closure=None, tol: float = 0.0):
         """Per-round cohort-state halo exchange (1-cell ppermute/round)."""
+        from soillib_tpu.ops import cohort as CO
         from soillib_tpu.ops.cohort import cohort_round, n_deposits, shift_push
 
         def push(payloads):
@@ -310,15 +351,35 @@ class ShardHalo(Halo):
                 shift_push(tuple(self.pad_cf(p, 0.0) for p in payloads))
             )
 
+        C = n_deposits(st0.shape[0], closure)
+        G0 = jnp.zeros((C,) + st0.shape[1:], st0.dtype)
+
+        if tol and tol > 0.0:
+            names = (self.ax_name, self.ay_name)
+
+            def cond(carry):
+                i, st, G = carry
+                live = jax.lax.psum(CO.carried_live(st, closure), names)
+                gauge = jax.lax.psum(CO.deposit_gauge(G), names)
+                return (i < iters) & ~CO.tail_converged(
+                    live, gauge, jnp.float32(iters) - i, tol
+                )
+
+            def body(carry):
+                i, st, G = carry
+                st, G = cohort_round(st, G, aux, rules, Llen, push, closure)
+                return i + 1.0, st, G
+
+            _, _, G = jax.lax.while_loop(
+                cond, body, (jnp.float32(0.0), st0, G0)
+            )
+            return G
+
         def body(_, carry):
             st, G = carry
             return cohort_round(st, G, aux, rules, Llen, push, closure)
 
-        C = n_deposits(st0.shape[0], closure)
-        _, G = jax.lax.fori_loop(
-            0, int(iters), body,
-            (st0, jnp.zeros((C,) + st0.shape[1:], st0.dtype)),
-        )
+        _, G = jax.lax.fori_loop(0, int(iters), body, (st0, G0))
         return G
 
     def _run_transport_per_round(self, E, att, vx, vy, iters: int):
