@@ -96,6 +96,10 @@ class CohortClosure:
         width), which reduces exactly to the legacy formulas for
         uniform offsets (newborns) and collapses Var[dL] -> O(width^2)
         for coherent streams. Only active together with `offsets`.
+        Values: True (default) = POOLED per-cell moments from the
+        count-mixed wall distances — exact for coherent streams, ~300
+        fma-eq/cell-round cheaper; "stream" = per-face-stream moments
+        (the round-4 form; the ablation point); False = off.
       * vdist: per-axis velocity marginal family for the directional
         stream decomposition — "gauss" (truncated-Gaussian, the
         default/headline closure) or "uniform" (bounded support; zero
@@ -115,7 +119,7 @@ class CohortClosure:
     """
 
     offsets: bool = True
-    offstep: bool = True
+    offstep: object = True  # True (pooled) | "stream" | False
     vdist: str = "gauss"
     xmom: bool = False
     perstream: bool = False
@@ -147,20 +151,37 @@ class CohortClosure:
     # velocities.  State and round cost scale ~linearly with `nodes`.
     # See _cohort_round_nodes.
     nodes: int = 1
+    # Node routing rule (nodes=4 only):
+    #   * "face" — by ENTRY FACE (the round-4 rule).  Flaw for diagonal
+    #     flows: a single coherent diagonal stream alternates x and y
+    #     exits along its DDA staircase, so face routing SPLITS one
+    #     population across two nodes every round and each half
+    #     re-disperses against the other's arrivals.
+    #   * "sign" — by VELOCITY SIGN QUADRANT of the arriving
+    #     sub-population ([++, +-, -+, --]; requires `offsets`, whose
+    #     quadrant exit weights supply the per-face sign split).  A
+    #     coherent diagonal stream keeps ALL its arrivals in one node
+    #     through both exit faces, while head-on and transverse-sign
+    #     confluence partners stay separated until relaxation actually
+    #     aligns their velocities.  Round-5 study (RESULTS.md): the
+    #     noise mixture metrics the face rule saturates on.
+    node_rule: str = "face"
 
 
 def _env_closure() -> CohortClosure:
     """Process-default closure from the SOIL_COHORT_* env vars (ablation
     back-compat; prefer `ErosionParams.closure` which enters jit keys)."""
+    _ost = os.environ.get("SOIL_COHORT_OFFSTEP", "1")
     return CohortClosure(
         offsets=os.environ.get("SOIL_COHORT_OFFSETS", "1") == "1",
-        offstep=os.environ.get("SOIL_COHORT_OFFSTEP", "1") == "1",
+        offstep="stream" if _ost == "stream" else _ost == "1",
         vdist=os.environ.get("SOIL_COHORT_VDIST", "gauss"),
         xmom=os.environ.get("SOIL_COHORT_XMOM", "0") == "1",
         perstream=os.environ.get("SOIL_COHORT_PERSTREAM", "0") == "1",
         colors=int(os.environ.get("SOIL_COHORT_COLORS", "1")),
         color_rule=os.environ.get("SOIL_COHORT_COLOR_RULE", "dir"),
         nodes=int(os.environ.get("SOIL_COHORT_NODES", "1")),
+        node_rule=os.environ.get("SOIL_COHORT_NODE_RULE", "face"),
     )
 
 
@@ -330,19 +351,28 @@ def _roll_push(payloads):
     """Roll-based directional push (kernel interior form; wrap-around is
     absorbed by the stale halo ring / zero boundary padding). `payloads`
     = (toward +x, -x, +y, -y); called per channel (2-D) by cohort_round —
-    negative axes keep it shape-generic."""
+    negative axes keep it shape-generic.  A `None` payload is a
+    TRACE-TIME zero (structurally-empty directions, e.g. the own-axis
+    offset reset channels) and contributes neither a roll nor an add."""
     pxp, pxn, pyp, pyn = payloads
-    return (
-        jnp.roll(pxp, 1, axis=-2)
-        + jnp.roll(pxn, -1, axis=-2)
-        + jnp.roll(pyp, 1, axis=-1)
-        + jnp.roll(pyn, -1, axis=-1)
-    )
+    terms = []
+    if pxp is not None:
+        terms.append(jnp.roll(pxp, 1, axis=-2))
+    if pxn is not None:
+        terms.append(jnp.roll(pxn, -1, axis=-2))
+    if pyp is not None:
+        terms.append(jnp.roll(pyp, 1, axis=-1))
+    if pyn is not None:
+        terms.append(jnp.roll(pyn, -1, axis=-1))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def shift_push(payloads):
-    """Zero-boundary directional push (reference form: pad + slice)."""
-    pxp, pxn, pyp, pyn = payloads
+    """Zero-boundary directional push (reference form: pad + slice).
+    `None` payloads are trace-time zeros (see _roll_push)."""
 
     def shift_from(a, dx, dy):
         pad = [(0, 0)] * (a.ndim - 2) + [(max(0, dx), max(0, -dx)),
@@ -352,12 +382,20 @@ def shift_push(payloads):
         x0, y0 = max(0, -dx), max(0, -dy)
         return ap[..., x0:x0 + W, y0:y0 + H]
 
-    return (
-        shift_from(pxp, +1, 0)
-        + shift_from(pxn, -1, 0)
-        + shift_from(pyp, 0, +1)
-        + shift_from(pyn, 0, -1)
-    )
+    pxp, pxn, pyp, pyn = payloads
+    terms = []
+    if pxp is not None:
+        terms.append(shift_from(pxp, +1, 0))
+    if pxn is not None:
+        terms.append(shift_from(pxn, -1, 0))
+    if pyp is not None:
+        terms.append(shift_from(pyp, 0, +1))
+    if pyn is not None:
+        terms.append(shift_from(pyn, 0, -1))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def _norm_cdf(z, gauss):
@@ -473,9 +511,17 @@ def _cond_stream(c_own, m2_own, mu_own, mu_t, m2_t, b, var_own):
 
     Returns (E[v_t|S], E[v_t^2|S], E[v_own*v_t|S]) given the stream's
     own-axis conditional moments (c_own = E[v_own|S], m2_own =
-    E[v_own^2|S]). b = 0 reduces to the unconditional transverse
-    moments. The m2 floor at mean² guards against roundoff producing a
-    negative conditional variance."""
+    E[v_own^2|S]). b = None is the xmom-off TRACE-TIME specialization —
+    bitwise-identical to b = 0 (every dropped term is exactly +0.0) but
+    ~18 fewer VPU ops per call: the kernel is issue-bound, and counting
+    multiply-by-structural-zero work would also overstate the compute
+    roofline that bench.py's vs_baseline divides by. The m2 floor at
+    mean² guards against roundoff producing a negative conditional
+    variance."""
+    if b is None:
+        mt = mu_t
+        m2t = jnp.maximum(m2_t, mt * mt)
+        return mt, m2t, mu_t * c_own
     dmu = c_own - mu_own
     mt = mu_t + b * dmu
     ex2c = m2_own - 2.0 * mu_own * c_own + mu_own * mu_own
@@ -571,9 +617,28 @@ def cohort_round(st, G, aux, rules, Llen, push, closure=None):
     the pushed arrivals — for the default single-node closure each
     channel's four directional payloads merge into one ensemble; for
     `closure.nodes` in (2, 4) arrivals are routed into separate
-    sub-ensembles by ENTRY FACE (see _cohort_round_nodes)."""
+    sub-ensembles by ENTRY FACE (see _cohort_round_nodes); for
+    `closure.colors` M > 1 the state carries M independent color groups
+    (disjoint birth sub-populations batched through one kernel — see
+    CohortClosure.colors) whose deposits sum and whose ensembles never
+    exchange."""
     cl = closure or ENV_CLOSURE
     nnodes = int(getattr(cl, "nodes", 1) or 1)
+    ncol = int(getattr(cl, "colors", 1) or 1)
+    if ncol > 1:
+        import dataclasses as _dc
+
+        P = st.shape[0] // ncol
+        cl1 = _dc.replace(cl, colors=1)
+        arrs, dep = [], None
+        for j in range(ncol):
+            a, d = cohort_round(
+                st[j * P:(j + 1) * P],
+                jnp.zeros_like(G), aux, rules, Llen, push, cl1,
+            )
+            arrs.append(a)
+            dep = d if dep is None else dep + d
+        return jnp.concatenate(arrs, axis=0), G + dep
     if nnodes > 1:
         return _cohort_round_nodes(st, G, aux, rules, Llen, push, cl,
                                    nnodes)
@@ -602,30 +667,76 @@ def _cohort_round_nodes(st, G, aux, rules, Llen, push, cl, nnodes):
     faces, which lands in the other node instead of merging back)."""
     S = st.shape[0]
     P = S // nnodes
-    Z = jnp.zeros_like(st[0])
+    sign_rule = getattr(cl, "node_rule", "face") == "sign"
+    if sign_rule and nnodes != 4:
+        raise ValueError("node_rule='sign' requires nodes=4")
+    ratios = [None] * nnodes
+
+    def mk_sink(j):
+        def sink(r):
+            ratios[j] = r
+
+        return sink
+
     gens = [
-        _round_payloads(st[j * P:(j + 1) * P], aux, rules, Llen, cl)
+        _round_payloads(st[j * P:(j + 1) * P], aux, rules, Llen, cl,
+                        ratio_sink=mk_sink(j) if sign_rule else None)
         for j in range(nnodes)
     ]
+
+    def nadd(a, b):
+        """None-aware payload sum (None = trace-time zero)."""
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a + b
+
+    def nmul(a, r):
+        return None if a is None else a * r
+
+    Z = jnp.zeros_like(st[0])
+
+    def pz(t):
+        """Push with all-None guarded to a real zero field."""
+        return Z if all(p is None for p in t) else push(t)
+
     outs = [[] for _ in range(nnodes)]
     for ts in zip(*gens):
-        xp = ts[0][0]
-        xn = ts[0][1]
-        yp = ts[0][2]
-        yn = ts[0][3]
+        if sign_rule:
+            # Split every source node's face payloads by its quadrant
+            # shares and sum the per-target parts across sources:
+            # node order [++, +-, -+, --]; ++ receives the ++ share of
+            # every xp payload and the ++ share of every yp payload.
+            acc = [[None, None, None, None] for _ in range(4)]
+            for j, t in enumerate(ts):
+                r = ratios[j]
+                txp, txn, typ, tyn = t
+                acc[0][0] = nadd(acc[0][0], nmul(txp, r["xp"][0]))
+                acc[1][0] = nadd(acc[1][0], nmul(txp, r["xp"][1]))
+                acc[2][1] = nadd(acc[2][1], nmul(txn, r["xn"][0]))
+                acc[3][1] = nadd(acc[3][1], nmul(txn, r["xn"][1]))
+                acc[0][2] = nadd(acc[0][2], nmul(typ, r["yp"][0]))
+                acc[2][2] = nadd(acc[2][2], nmul(typ, r["yp"][1]))
+                acc[1][3] = nadd(acc[1][3], nmul(tyn, r["yn"][0]))
+                acc[3][3] = nadd(acc[3][3], nmul(tyn, r["yn"][1]))
+            for k in range(4):
+                outs[k].append(pz(tuple(acc[k])))
+            continue
+        xp, xn, yp, yn = ts[0]
         for t in ts[1:]:
-            xp = xp + t[0]
-            xn = xn + t[1]
-            yp = yp + t[2]
-            yn = yn + t[3]
+            xp = nadd(xp, t[0])
+            xn = nadd(xn, t[1])
+            yp = nadd(yp, t[2])
+            yn = nadd(yn, t[3])
         if nnodes == 2:
-            outs[0].append(push((xp, xn, Z, Z)))
-            outs[1].append(push((Z, Z, yp, yn)))
+            outs[0].append(pz((xp, xn, None, None)))
+            outs[1].append(pz((None, None, yp, yn)))
         elif nnodes == 4:
-            outs[0].append(push((xp, Z, Z, Z)))
-            outs[1].append(push((Z, xn, Z, Z)))
-            outs[2].append(push((Z, Z, yp, Z)))
-            outs[3].append(push((Z, Z, Z, yn)))
+            outs[0].append(pz((xp, None, None, None)))
+            outs[1].append(pz((None, xn, None, None)))
+            outs[2].append(pz((None, None, yp, None)))
+            outs[3].append(pz((None, None, None, yn)))
         else:
             raise ValueError(f"nodes must be 1, 2 or 4, got {nnodes}")
     arrivals = jnp.stack([c for o in outs for c in o], axis=0)
@@ -635,8 +746,16 @@ def _cohort_round_nodes(st, G, aux, rules, Llen, push, cl, nnodes):
     return arrivals, G + dep
 
 
-def _round_payloads(st, aux, rules, Llen, cl):
+def _round_payloads(st, aux, rules, Llen, cl, ratio_sink=None):
     """Pre-shift directional payloads of one ensemble's transit round.
+
+    `ratio_sink`, when given, receives (before the first yield) the
+    per-face QUADRANT SHARES {face: (share_a, share_b)} — the fraction
+    of each face's exit weight belonging to each velocity-sign quadrant
+    (xp: ++/+-, xn: -+/--, yp: ++/-+, yn: +-/--) — the split the
+    sign-quadrant node routing multiplies into the face payloads
+    (requires the offsets closure, whose quadrant exit weights define
+    the shares).
 
     Yields, for each output channel in state-layout order (NSTATE moment
     channels, then the carried-total deposits), the 4-tuple of payloads
@@ -794,32 +913,55 @@ def _round_payloads(st, aux, rules, Llen, cl):
         wxp, wxn = q_pp_x + q_pn_x, q_np_x + q_nn_x
         wyp, wyn = q_pp_y + q_np_y, q_pn_y + q_nn_y
 
+        if ratio_sink is not None:
+            def shares(qa, qb, wf):
+                """Double-where'd (qa/wf, qb/wf); zero-weight faces emit
+                zero payloads, so their shares are irrelevant but must
+                stay finite in both modes."""
+                z = wf <= 0.0
+                inv = jnp.where(z, 0.0, 1.0 / jnp.where(z, 1.0, wf))
+                return qa * inv, qb * inv
+
+            ratio_sink({
+                "xp": shares(q_pp_x, q_pn_x, wxp),
+                "xn": shares(q_np_x, q_nn_x, wxn),
+                "yp": shares(q_pp_y, q_np_y, wyp),
+                "yn": shares(q_pn_y, q_nn_y, wyn),
+            })
+
         # Pushed f-offsets per face (w-normalized payload factors; they
         # multiply wa below).  Own-axis offset resets to the entry face
         # (0 for +, 1 for -: deterministic, so its second moment is the
         # square); transverse g converts back to f per sign with
         # E[f^2] = mean^2 + branch variance (shift/flip invariant).
-        pay_fx_xp = jnp.zeros_like(w)
+        # The structurally-zero payloads (entry at f = 0) are None —
+        # trace-time zeros the push skips entirely (no mul/roll/add).
+        pay_fx_xp = None
         pay_fx_xn = wxn  # entry at fx = 1
         pay_fy_xp = q_pp_x * (1.0 - gyo_pp) + q_pn_x * gyo_pn
         pay_fy_xn = q_np_x * (1.0 - gyo_np) + q_nn_x * gyo_nn
-        pay_fy_yp = jnp.zeros_like(w)
+        pay_fy_yp = None
         pay_fy_yn = wyn  # entry at fy = 1
         pay_fx_yp = q_pp_y * (1.0 - gxo_pp) + q_np_y * gxo_np
         pay_fx_yn = q_pn_y * (1.0 - gxo_pn) + q_nn_y * gxo_nn
-        pay_fx2_xp = jnp.zeros_like(w)
+        pay_fx2_xp = None
         pay_fx2_xn = wxn
         pay_fy2_xp = (q_pp_x * ((1.0 - gyo_pp) ** 2 + vy_pp)
                       + q_pn_x * (gyo_pn ** 2 + vy_pn))
         pay_fy2_xn = (q_np_x * ((1.0 - gyo_np) ** 2 + vy_np)
                       + q_nn_x * (gyo_nn ** 2 + vy_nn))
-        pay_fy2_yp = jnp.zeros_like(w)
+        pay_fy2_yp = None
         pay_fy2_yn = wyn
         pay_fx2_yp = (q_pp_y * ((1.0 - gxo_pp) ** 2 + vx_pp)
                       + q_np_y * (gxo_np ** 2 + vx_np))
         pay_fx2_yn = (q_pn_y * ((1.0 - gxo_pn) ** 2 + vx_pn)
                       + q_nn_y * (gxo_nn ** 2 + vx_nn))
     else:
+        if ratio_sink is not None:
+            raise ValueError(
+                "node_rule='sign' requires the offsets closure (the "
+                "quadrant exit weights define the sign shares)"
+            )
         denom = Exp + Exn + Eyp + Eyn
         inv_denom = 1.0 / jnp.where(denom <= 0.0, 1.0, denom)
         wxp, wxn = Exp * inv_denom, Exn * inv_denom
@@ -836,10 +978,12 @@ def _round_payloads(st, aux, rules, Llen, cl):
 
     # Cross-moment regression coefficients (Cauchy-Schwarz-clamped: f32
     # roundoff and the carried clip can push |cov| past sqrt(varx*vary),
-    # which would make conditional variances negative).
-    varx = jnp.maximum(m2x - vbx * vbx, 0.0)
-    vary = jnp.maximum(m2y - vby * vby, 0.0)
+    # which would make conditional variances negative).  xmom off: the
+    # coefficients are None — the trace-time-zero specialization of
+    # _cond_stream (bitwise-identical, no mul-by-zero VPU work).
     if cl.xmom:
+        varx = jnp.maximum(m2x - vbx * vbx, 0.0)
+        vary = jnp.maximum(m2y - vby * vby, 0.0)
         prod = varx * vary
         pzero = prod <= 0.0
         lim = jnp.where(
@@ -849,7 +993,8 @@ def _round_payloads(st, aux, rules, Llen, cl):
         bx = _regress_coef(m2x, varx, cov)
         by = _regress_coef(m2y, vary, cov)
     else:
-        bx = by = jnp.zeros_like(w)
+        varx = vary = None
+        bx = by = None
 
     # Transverse moments of each stream (unconditional when bx=by=0).
     my_xp, m2y_xp, mxy_xp = _cond_stream(cxp, m2xp, vbx, vby, m2y, bx, varx)
@@ -864,7 +1009,10 @@ def _round_payloads(st, aux, rules, Llen, cl):
             u2 = (u_own, u_t) if own_is_x else (u_t, u_own)
             stp = stepsize_expected(*u2)
             dL_s = stp * Llen
-            dvar_s = (Llen * Llen) * stepsize_var(*u2)
+            if cl.offsets and cl.offstep:
+                dvar_s = None  # replaced wholesale by the offstep block
+            else:
+                dvar_s = (Llen * Llen) * stepsize_var(*u2)
             w1_s, facs_s = rules(dL_s, inv_s, safe_w, carried, u2, aux_tail)
             return dL_s, dvar_s, w1_s, facs_s
 
@@ -882,34 +1030,72 @@ def _round_payloads(st, aux, rules, Llen, cl):
         uy = ay * inv_an
         step = stepsize_expected(ux, uy)
         dL = step * Llen
-        dvar = (Llen * Llen) * stepsize_var(ux, uy)
+        if cl.offsets and cl.offstep:
+            # The offstep block below replaces (dL, dvar) wholesale —
+            # tracing stepsize_var here would be dead code XLA DCEs but
+            # the compute roofline would still count.
+            dvar = None
+        else:
+            dvar = (Llen * Llen) * stepsize_var(ux, uy)
         inv = 1.0 / jnp.maximum(sbar, _EPS)
         w1, facs = rules(dL, inv, safe_w, carried, (ux, uy), aux_tail)
         ph_xp = ph_xn = ph_yp = ph_yn = (dL, dvar, w1, facs)
 
     if cl.offsets and cl.offstep:
-        # Offset-conditional step moments per face-stream (see _OFFSTEP):
-        # the rules evaluation (attenuation/friction) above keeps its
-        # shared kinematics; only the (dL, Var[dL]) fed to the velocity
-        # advance become stream-specific, killing the per-round variance
-        # ratchet that plumes coherent streams.  The transverse wall
-        # distance mixes the two sign populations by their count shares
-        # (the same independence the quadrant exit split assumes).
+        # Offset-conditional step moments (see _OFFSTEP): the rules
+        # evaluation (attenuation/friction) above keeps its shared
+        # kinematics; only the (dL, Var[dL]) fed to the velocity advance
+        # are refined over the CARRIED offset distribution, killing the
+        # per-round variance ratchet that plumes coherent streams.  The
+        # transverse wall distance mixes the two sign populations by
+        # their count shares (the same independence the quadrant exit
+        # split assumes).
         mty = Pyp * mgy_p + (1.0 - Pyp) * mgy_n
         mtx = Pxp * mgx_p + (1.0 - Pxp) * mgx_n
 
-        def off_step(m_own, m_t, m2_own, m2_t, h_own, h_t):
-            _, u_own, u_t = _stream_geom(m2_own, m2_t)
-            et_o, vt_o = _trunc_step_moments(m_own, h_own, u_own)
-            et_t, vt_t = _trunc_step_moments(m_t, h_t, u_t)
-            dL_s = 0.5 * (et_o + et_t) * Llen
-            dvar_s = 0.25 * (vt_o + vt_t) * (Llen * Llen)
-            return dL_s, dvar_s
+        if cl.offstep == "stream":
+            # Per-face-stream moments (the round-4 form; ~400 fma-eq/
+            # cell-round): each of the four exit streams gets its own
+            # conditional wall-distance/direction kinematics.
+            def off_step(m_own, m_t, m2_own, m2_t, h_own, h_t):
+                _, u_own, u_t = _stream_geom(m2_own, m2_t)
+                et_o, vt_o = _trunc_step_moments(m_own, h_own, u_own)
+                et_t, vt_t = _trunc_step_moments(m_t, h_t, u_t)
+                dL_s = 0.5 * (et_o + et_t) * Llen
+                dvar_s = 0.25 * (vt_o + vt_t) * (Llen * Llen)
+                return dL_s, dvar_s
 
-        ph_xp = off_step(mgx_p, mty, m2xp, m2y_xp, hwx, hwy) + ph_xp[2:]
-        ph_xn = off_step(mgx_n, mty, m2xn, m2y_xn, hwx, hwy) + ph_xn[2:]
-        ph_yp = off_step(mgy_p, mtx, m2yp, m2x_yp, hwy, hwx) + ph_yp[2:]
-        ph_yn = off_step(mgy_n, mtx, m2yn, m2x_yn, hwy, hwx) + ph_yn[2:]
+            ph_xp = off_step(mgx_p, mty, m2xp, m2y_xp, hwx, hwy) + ph_xp[2:]
+            ph_xn = off_step(mgx_n, mty, m2xn, m2y_xn, hwx, hwy) + ph_xn[2:]
+            ph_yp = off_step(mgy_p, mtx, m2yp, m2x_yp, hwy, hwx) + ph_yp[2:]
+            ph_yn = off_step(mgy_n, mtx, m2yn, m2x_yn, hwy, hwx) + ph_yn[2:]
+        else:
+            # POOLED moments (default; the round-5 op-diet): one
+            # (dL, Var[dL]) per cell from the count-mixed wall distances
+            # — mtx/mty ARE exactly the count mixtures of the per-sign
+            # distances — and RMS direction cosines from the
+            # unconditional second moments (= the count mixture of the
+            # per-stream conditionals, by the law of total expectation).
+            # For a COHERENT stream (one sign carries ~all count weight)
+            # the mixture equals that stream's own geometry, so the
+            # variance-ratchet kill that offstep exists for (the 4x MC
+            # plume fix) is preserved exactly; for dispersed ensembles
+            # uniform offsets make every variant collapse to the legacy
+            # formulas.  Only genuinely bidirectional cells with
+            # coherent off-center offsets (pit oscillation) see the
+            # pooling, at ~300 fewer fma-eq/cell-round (bench.py; the
+            # kernel is VPU-issue-bound).  Parity: the coupled nets in
+            # tests/test_erosion.py hold at the same levels, goldens
+            # re-pinned (tools/gen_goldens.py) — see RESULTS.md round 5.
+            _, ux_r, uy_r = _stream_geom(m2x, m2y)
+            et_x, vt_x = _trunc_step_moments(mtx, hwx, ux_r)
+            et_y, vt_y = _trunc_step_moments(mty, hwy, uy_r)
+            dL_o = 0.5 * (et_x + et_y) * Llen
+            dvar_o = 0.25 * (vt_x + vt_y) * (Llen * Llen)
+            ph_xp = (dL_o, dvar_o) + ph_xp[2:]
+            ph_xn = (dL_o, dvar_o) + ph_xn[2:]
+            ph_yp = (dL_o, dvar_o) + ph_yp[2:]
+            ph_yn = (dL_o, dvar_o) + ph_yn[2:]
 
     # Post-transit moments per stream (each at its own kinematics).
     adv_xp = _stream_advance(ph_xp[2], ph_xp[0], ph_xp[1], axl, ayl,
@@ -937,12 +1123,17 @@ def _round_payloads(st, aux, rules, Llen, cl):
                wyp_a * adv_yp[q], wyn_a * adv_yn[q])
     # Sub-cell offset moments (w-weighted; pay_* already carry the face
     # weight factor, so they multiply the ALIVE-masked total weight wa).
-    yield (wa * pay_fx_xp, wa * pay_fx_xn, wa * pay_fx_yp, wa * pay_fx_yn)
-    yield (wa * pay_fy_xp, wa * pay_fy_xn, wa * pay_fy_yp, wa * pay_fy_yn)
-    yield (wa * pay_fx2_xp, wa * pay_fx2_xn,
-           wa * pay_fx2_yp, wa * pay_fx2_yn)
-    yield (wa * pay_fy2_xp, wa * pay_fy2_xn,
-           wa * pay_fy2_yp, wa * pay_fy2_yn)
+    def wmul(p):
+        return None if p is None else wa * p
+
+    yield (wmul(pay_fx_xp), wmul(pay_fx_xn), wmul(pay_fx_yp),
+           wmul(pay_fx_yn))
+    yield (wmul(pay_fy_xp), wmul(pay_fy_xn), wmul(pay_fy_yp),
+           wmul(pay_fy_yn))
+    yield (wmul(pay_fx2_xp), wmul(pay_fx2_xn),
+           wmul(pay_fx2_yp), wmul(pay_fx2_yn))
+    yield (wmul(pay_fy2_xp), wmul(pay_fy2_xn),
+           wmul(pay_fy2_yp), wmul(pay_fy2_yn))
 
     # Carried-channel deposits: per-stream per-CLASS attenuated weights
     # (alive-masked), folded once per class and reused across channels.
@@ -996,14 +1187,18 @@ def _channels(x):
 
 def n_deposits(S, closure=None):
     """Deposit-channel count C of an S-channel cohort state: the state
-    holds `closure.nodes` ensembles of (NSTATE moments + C carried)."""
+    holds `closure.colors * closure.nodes` independent ensembles of
+    (NSTATE moments + C carried) — color groups batch the quality-mode
+    birth partition through ONE kernel invocation, node groups the
+    face-routed mixture; deposits sum over all of them."""
     cl = closure or ENV_CLOSURE
     nnodes = int(getattr(cl, "nodes", 1) or 1)
-    per, rem = divmod(S, nnodes)
+    ncol = int(getattr(cl, "colors", 1) or 1)
+    per, rem = divmod(S, nnodes * ncol)
     if rem or per <= NSTATE:
         raise ValueError(
-            f"cohort state of {S} channels is not {nnodes} nodes of "
-            f"NSTATE={NSTATE} moments + carried totals"
+            f"cohort state of {S} channels is not {ncol} colors x "
+            f"{nnodes} nodes of NSTATE={NSTATE} moments + carried totals"
         )
     return per - NSTATE
 

@@ -15,18 +15,18 @@ import pytest
 import soillib_tpu as soil
 
 # (mean, std, absmax) after 10 steps @64², transportIterations=16, key=3.
-# Re-pinned 2026-08-20 to the round-3 default closure (offset routing +
-# offset-conditional step moments, SOIL_COHORT_OFFSETS/OFFSTEP=1): the
-# closure change is deliberate (RESULTS.md closure study) and the npz
-# goldens (golden_traj128/256.npz) were regenerated with it in round 3,
-# but this inline dict was not — the round-3 keep-green regression.
-# Previous re-pin 2026-08-17 (FastNoiseLite-compat OpenSimplex2 default
-# noise; terrain changed, model did not — tests/test_noise.py pins the
-# terrain against goldens dumped from the vendored library).
+# Re-pinned 2026-08-20 (round 5) to the POOLED offstep default closure
+# (ops/cohort.py CohortClosure.offstep=True; the round-4 per-face-stream
+# form survives as offstep="stream") — the op-diet change is deliberate:
+# ~30% fewer fma-eq/cell-round at parity-net-equal quality (RESULTS.md
+# round 5; drift vs the stream closure: discharge absmax +0.14%, mass
+# +0.8%, height/sediment bitwise-unchanged — the npz fingerprints at
+# rtol 5e-3 never moved).  Previous re-pins: round-3 offset-routing
+# closure; 2026-08-17 FastNoiseLite-compat noise.
 GOLDEN = {
     "height": (1.941293e+00, 8.773191e-02, 2.151546e+00),
-    "discharge": (1.585428e+00, 1.664814e+00, 1.363338e+01),
-    "mass": (4.337348e-12, 1.764005e-11, 3.245029e-10),
+    "discharge": (1.585523e+00, 1.665764e+00, 1.365297e+01),
+    "mass": (4.352074e-12, 1.772613e-11, 3.272373e-10),
     "sediment": (1.909290e-03, 2.304993e-03, 1.441507e-02),
 }
 

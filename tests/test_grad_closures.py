@@ -43,6 +43,10 @@ CLOSURES = [
     CohortClosure(offsets=False, offstep=False),
     # Offset routing with uniform (legacy) step moments.
     CohortClosure(offsets=True, offstep=False),
+    # The round-5 pooled-offstep default (gauss).
+    CohortClosure(),
+    # The round-4 per-face-stream offstep (the ablation point).
+    CohortClosure(offstep="stream"),
     # Everything on at once (covers offstep/uniform/xmom/perstream).
     CohortClosure(offsets=True, offstep=True, vdist="uniform",
                   xmom=True, perstream=True),
@@ -55,7 +59,8 @@ CLOSURES = [
 def _ids(c):
     bits = []
     if c.offsets:
-        bits.append("off" + ("+step" if c.offstep else ""))
+        suffix = {"stream": "+stream", True: "+step"}.get(c.offstep, "")
+        bits.append("off" + suffix)
     if c.vdist != "gauss":
         bits.append(c.vdist)
     if c.xmom:
