@@ -53,6 +53,8 @@ CLOSURES = [
     # Face-routed mixture nodes (quality modes).
     CohortClosure(nodes=2),
     CohortClosure(nodes=4),
+    # Sign-quadrant routing (round-5 ablation; divides by face weights).
+    CohortClosure(nodes=4, node_rule="sign"),
 ]
 
 
