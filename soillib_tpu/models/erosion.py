@@ -261,6 +261,24 @@ def _build_cohort_state(w0, speed, carried0, closure):
     return chans
 
 
+def _debris_closure(p):
+    """Effective debris-transport closure (see ErosionParams.
+    closureDebris): default strips the mixture-refinement quality knobs
+    (nodes/colors) from `closure` — the debris cohort already matches
+    MC at the floor with the single-ensemble closure, so quality cost
+    belongs on the fluvial solve only."""
+    import dataclasses as _dc
+
+    cd = getattr(p, "closureDebris", None)
+    if cd == "same":
+        return p.closure
+    if cd is not None:
+        return cd
+    if p.closure is None:
+        return None
+    return _dc.replace(p.closure, nodes=1, colors=1)
+
+
 def _run_cohort_colored(halo, w0, speed, carried0, aux, rules, iters,
                         Llen, closure, tol=0.0):
     """Cohort solve, optionally split into `closure.colors` disjoint
@@ -878,7 +896,7 @@ def transport_debris(
         #        rules aux...) — see ops/cohort.py layout.
         aux = (accel[0], accel[1], jnp.ones_like(excess0), excess0)
         Gcf = _run_cohort_colored(halo, w0, speed, carried0, aux, rules,
-                                  iters, Llen, p.closure,
+                                  iters, Llen, _debris_closure(p),
                                   tol=p.transportTol)
     elif method == "particles":
         if halo is not NO_HALO:

@@ -101,6 +101,16 @@ class ErosionParams:
     # hashable and enters the jit cache key through `.freeze()`, while
     # env toggles do not.
     closure: object = None
+    # Debris-transport closure. Default None = `closure` with the
+    # mixture-refinement quality knobs (nodes/colors) STRIPPED: the
+    # debris cohort parity already sits at the MC floor at the default
+    # closure (corr 1.0 / rel 0.0 on every study terrain —
+    # benchmarks/quality_r5_8x_sweep.json and the parity_debris net), so
+    # a quality run pays nodes*colors only on the fluvial solve (~halves
+    # quality-mode step cost at zero measured debris fidelity loss).
+    # Pass "same" to apply `closure` verbatim, or an explicit
+    # CohortClosure.
+    closureDebris: object = None
 
     def __setattr__(self, name, value):
         name = _ALIASES.get(name, name)

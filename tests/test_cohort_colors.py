@@ -69,6 +69,47 @@ def test_batched_colors_kernel_matches_reference():
                                rtol=2e-5, atol=1e-5)
 
 
+def test_debris_closure_strips_quality_knobs():
+    """Default: the debris transport strips nodes/colors from the
+    quality closure (its parity already sits at the MC floor single-
+    ensemble), so a quality run == quality-fluvial + default-debris;
+    closureDebris='same' restores the verbatim closure."""
+    import soillib_tpu.models.erosion as ero
+
+    p = soil.ErosionParams()
+    p.closure = CohortClosure(nodes=4, colors=2)
+    cd = ero._debris_closure(p)
+    assert cd.nodes == 1 and cd.colors == 1
+    assert cd.offsets == p.closure.offsets
+
+    p.closureDebris = "same"
+    assert ero._debris_closure(p) is p.closure
+
+    explicit = CohortClosure(nodes=2)
+    p.closureDebris = explicit
+    assert ero._debris_closure(p) is explicit
+
+    p2 = soil.ErosionParams()
+    assert ero._debris_closure(p2) is None
+
+    # End-to-end: a quality-closure debris transport equals the
+    # default-closure debris transport exactly (same stripped closure).
+    h = soil.noise((32, 32), soil.noise_t(seed=4.0, ext=(32, 32)))
+    st = soil.ErosionState.zeros((32, 32), height=1.0 + 0.3 * h)
+    pq = soil.ErosionParams()
+    pq.transportIterations = 8
+    pq.closure = CohortClosure(nodes=4, colors=2)
+    pd = soil.ErosionParams()
+    pd.transportIterations = 8
+    args = (st.layers, st.mass, st.momentum, st.albedo_surface,
+            (0.1, 0.1, 1.0))
+    out_q = soil.transport_debris(*args, pq)
+    out_d = soil.transport_debris(*args, pd)
+    for a, b in zip(out_q, out_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_transport_fluvial_colors_batched_equals_looped():
     """The full fluvial transport with a colored closure: the batched
     path (default off-TPU) == the sequential per-color loop, forced by
