@@ -54,8 +54,15 @@ def main():
     ap.add_argument("--out", default="/tmp/erosion_tpu")
     ap.add_argument("--quality", action="store_true",
                     help="mixture quality mode (CohortClosure(nodes=4, "
-                         "colors=8): ~25x step cost, MC-floor parity — "
-                         "RESULTS.md quality-mode study)")
+                         "colors=8): ~13x step cost — RESULTS.md "
+                         "quality-mode study; debris keeps the default "
+                         "closure, see ErosionParams.closureDebris)")
+    ap.add_argument("--faithful", action="store_true",
+                    help="reference-faithful transport depth: maxage-2 "
+                         "rounds as an upper bound with the convergence-"
+                         "adaptive exit (transportTol=1e-6) — matches "
+                         "the fixed full-depth solve to f32 roundoff "
+                         "while skipping dead rounds (erosion.cu:101)")
     args = ap.parse_args()
 
     res = (args.res, args.res)
@@ -67,6 +74,9 @@ def main():
     param = make_param()
     if args.quality:
         param.closure = soil.CohortClosure(nodes=4, colors=8)
+    if args.faithful:
+        param.transportIterations = 0   # -> maxage-2 rounds (the bound)
+        param.transportTol = 1e-6       # adaptive exit pays only live rounds
 
     sim = soil.ErosionSim(res, pscale, param, state=state)
     done = 0

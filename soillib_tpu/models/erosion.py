@@ -204,6 +204,44 @@ def _color_masks(M, rule, speed, shape, halo=NO_HALO):
         theta = jnp.arctan2(speed[1], speed[0])  # (-pi, pi]
         sect = jnp.floor((theta + jnp.pi) * (M / (2.0 * jnp.pi)) + 0.5)
         idx = sect.astype(jnp.int32) % M
+    elif rule == "peak":
+        # SOURCE-REGION partition: follow the steepest-ASCENT direction
+        # (-speed ~ +grad) to the local peak each birth cell drains
+        # FROM, and color by a hash of that peak id.  Confluence
+        # partners arrive from different hillsides — different peaks —
+        # so this separates exactly the co-located mixtures the moment
+        # closure represents worst, where "hash" decorrelates origins
+        # blindly and "dir" only separates by arrival angle.  (The
+        # descent analog — outlet basins — POOLS confluence partners:
+        # streams that merge share their downstream outlet.)  Cost: one
+        # D8 quantization + ~log2(W+H) pointer-doubling gather rounds
+        # per solve.  Single-device only: the pointer chase is global
+        # (the sharded quality path keeps "hash"/"dir").
+        if halo is not NO_HALO:
+            raise NotImplementedError(
+                "color_rule='peak' needs a global pointer chase; use "
+                "'hash' or 'dir' under shard_map"
+            )
+        theta = jnp.arctan2(-speed[1], -speed[0])
+        sect = (jnp.floor(theta * (4.0 / jnp.pi) + 0.5)
+                .astype(jnp.int32) % 8)
+        d8 = jnp.array([[1, 0], [1, 1], [0, 1], [-1, 1], [-1, 0],
+                        [-1, -1], [0, -1], [1, -1]], jnp.int32)
+        dx = d8[sect, 0]
+        dy = d8[sect, 1]
+        xi = jnp.arange(W, dtype=jnp.int32)[:, None]
+        yi = jnp.arange(H, dtype=jnp.int32)[None, :]
+        self_idx = xi * H + yi
+        up = (jnp.clip(xi + dx, 0, W - 1) * H
+              + jnp.clip(yi + dy, 0, H - 1))
+        still = _len2(speed[0], speed[1]) <= _EPS
+        r = jnp.where(still, self_idx, up).reshape(-1)
+        for _ in range(max(1, math.ceil(math.log2(W + H)))):
+            r = r[r]
+        h = r.astype(jnp.uint32) * jnp.uint32(2654435761)
+        h = (h ^ (h >> 16)) * jnp.uint32(2246822519)
+        idx = ((h ^ (h >> 13)) % jnp.uint32(M)).astype(jnp.int32)
+        idx = idx.reshape(W, H)
     elif rule == "hash":
         x0, y0, _, Hg = halo.global_offsets((W, H))
         gx = x0 + jnp.arange(W, dtype=jnp.uint32)[:, None]

@@ -1042,7 +1042,7 @@ def _round_payloads(st, aux, rules, Llen, cl, ratio_sink=None):
         ph_xp = ph_xn = ph_yp = ph_yn = (dL, dvar, w1, facs)
 
     if cl.offsets and cl.offstep:
-        # Offset-conditional step moments (see _OFFSTEP): the rules
+        # Offset-conditional step moments (CohortClosure.offstep): the rules
         # evaluation (attenuation/friction) above keeps its shared
         # kinematics; only the (dL, Var[dL]) fed to the velocity advance
         # are refined over the CARRIED offset distribution, killing the

@@ -348,7 +348,10 @@ class ShardHalo(Halo):
 
         def push(payloads):
             return self.crop_cf(
-                shift_push(tuple(self.pad_cf(p, 0.0) for p in payloads))
+                shift_push(tuple(
+                    None if p is None else self.pad_cf(p, 0.0)
+                    for p in payloads
+                ))
             )
 
         C = n_deposits(st0.shape[0], closure)

@@ -67,7 +67,8 @@ def test_all_examples_smoke(demdir, tmp_path):
     t = str(tmp_path)
     jobs = [
         ("erosion_tpu",
-         ["--res", 48, "--steps", 2, "--report", 2, "--out", f"{t}/ero"]),
+         ["--res", 48, "--steps", 2, "--report", 2, "--faithful",
+          "--out", f"{t}/ero"]),
         ("erosion_pod", ["--res", 64, "--steps", 2, "--virtual", 8]),
         ("dem_mc_pod", ["--res", 64, "--count", 6000, "--virtual", 8]),
         ("erosion_tpu_multiscale",
