@@ -115,12 +115,20 @@ def run_procs(args):
             for pid in range(nproc)
         ]
         rates = []
-        for p in procs:
-            out, _ = p.communicate(timeout=1800)
-            assert p.returncode == 0, out[-3000:]
-            for line in out.splitlines():
-                if line.startswith("RATE "):
-                    rates.append(float(line.rsplit("=", 1)[1]))
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=1800)
+                assert p.returncode == 0, out[-3000:]
+                for line in out.splitlines():
+                    if line.startswith("RATE "):
+                        rates.append(float(line.rsplit("=", 1)[1]))
+        finally:
+            # A failed/timed-out worker must not leave its siblings
+            # blocked forever on the jax.distributed coordinator
+            # barrier (each holds an XLA-CPU process's memory).
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
         return rates
 
     total = args.procs * args.devices_per_proc

@@ -225,10 +225,12 @@ def _color_masks(M, rule, speed, shape, halo=NO_HALO):
         theta = jnp.arctan2(-speed[1], -speed[0])
         sect = (jnp.floor(theta * (4.0 / jnp.pi) + 0.5)
                 .astype(jnp.int32) % 8)
-        d8 = jnp.array([[1, 0], [1, 1], [0, 1], [-1, 1], [-1, 0],
-                        [-1, -1], [0, -1], [1, -1]], jnp.int32)
-        dx = d8[sect, 0]
-        dy = d8[sect, 1]
+        # Two (8,) tables, not one (8, 2): CLAUDE.md's lane-padding
+        # invariant bans C=2 minor dims inside jitted TPU code.
+        d8x = jnp.array([1, 1, 0, -1, -1, -1, 0, 1], jnp.int32)
+        d8y = jnp.array([0, 1, 1, 1, 0, -1, -1, -1], jnp.int32)
+        dx = d8x[sect]
+        dy = d8y[sect]
         xi = jnp.arange(W, dtype=jnp.int32)[:, None]
         yi = jnp.arange(H, dtype=jnp.int32)[None, :]
         self_idx = xi * H + yi
@@ -236,7 +238,13 @@ def _color_masks(M, rule, speed, shape, halo=NO_HALO):
               + jnp.clip(yi + dy, 0, H - 1))
         still = _len2(speed[0], speed[1]) <= _EPS
         r = jnp.where(still, self_idx, up).reshape(-1)
-        for _ in range(max(1, math.ceil(math.log2(W + H)))):
+        # Pointer doubling covers chains up to W*H (winding ridge paths
+        # exceed W+H); ceil(log2(W*H)) rounds reach any chain's end.
+        # Quantization cycles (the ascent graph is built from `speed`,
+        # which includes momentum, so it is not a pure gradient) never
+        # resolve to a single root — r stabilizes ON the cycle and its
+        # cells hash to a few colors, harmless partition noise.
+        for _ in range(max(1, math.ceil(math.log2(float(W) * H)))):
             r = r[r]
         h = r.astype(jnp.uint32) * jnp.uint32(2654435761)
         h = (h ^ (h >> 16)) * jnp.uint32(2246822519)
@@ -358,9 +366,10 @@ def _run_cohort_colored(halo, w0, speed, carried0, aux, rules, iters,
     # staging builds).
     cb = M
     if use_pallas():
+        from soillib_tpu.ops.cohort import geometry_efficiency
+
         nnodes = int(getattr(cl, "nodes", 1) or 1)
         per = nnodes * (NSTATE + len(carried0))
-        W_, H_ = w0.shape
         best = None
         c = M
         while c >= 1:
@@ -369,10 +378,7 @@ def _run_cohort_colored(halo, w0, speed, carried0, aux, rules, iters,
                     g = choose_geometry(c * per, len(aux), len(carried0),
                                         _dc.replace(cl, colors=c),
                                         grid=w0.shape)
-                    pad = ((-(-W_ // g.tile_x) * g.tile_x)
-                           * (-(-H_ // g.tile_y) * g.tile_y))
-                    eff = ((g.tile_x * g.tile_y) / (g.sx * g.sy)
-                           * (W_ * H_) / pad)
+                    eff = geometry_efficiency(g, w0.shape)
                     if best is None or eff > best[0] * 1.02:
                         best = (eff, c)
                 except ValueError:
@@ -592,6 +598,13 @@ def make_fluvial_rules(p, Llen, albedo_on=None):
     # (water, mass, vel_x, vel_y[, albedo r, g, b]); albedo shares the
     # mass attenuation (erosion.cu:111-113).
     rules.classes = (0, 1, 2, 2) + ((1, 1, 1) if albedo_on else ())
+    # Every transit factor <= 1 when the decay rates are non-negative
+    # (fac_w/fac_m are exp(-rate*ds), fac_v's rate is clipped <= 0 by
+    # the caller) — the contract the adaptive exit's live*remaining
+    # deposit bound needs (ops/cohort.py carried_live).  A user-set
+    # negative evapRate/depositionRate (growth) drops the declaration
+    # and the exit falls back to the rigorous live == 0 criterion.
+    rules.contractive = bool(evap >= 0.0 and kd >= 0.0)
     return rules
 
 

@@ -75,7 +75,9 @@ class ErosionParams:
     # Extensions over param_t (not in the reference struct):
     nSamples: int = 8192       # particle count (ref: rng.elem(); old `samples`)
     transportMethod: str = "field"     # "field" | "particles"
-    transportIterations: int = 0       # 0 -> use maxage
+    transportIterations: int = 0       # 0 -> maxage-2 (the faithful
+    # deposit depth: the MC loop runs maxage-1 rounds and its first
+    # never deposits — see transport_fluvial)
     # Convergence-adaptive transport depth (field method only): > 0 makes
     # the round count an UPPER bound — the cohort solve exits once the
     # remaining-deposit bound (live carried mass x rounds left) drops

@@ -275,6 +275,22 @@ def cohort_vmem_bytes(S, A, C, geom: CohortGeometry,
     return static + f * live * win
 
 
+def geometry_efficiency(g: CohortGeometry, grid=None) -> float:
+    """Useful-work fraction of a window geometry: tile area / window
+    area (halo ring + lane slack recomputed and discarded every round),
+    times the useful fraction of the tile-padded grid when `grid` is
+    known.  The single ranking metric shared by `choose_geometry` and
+    the color-chunk chooser (models/erosion.py), so the two decisions
+    can never silently diverge."""
+    eff = (g.tile_x * g.tile_y) / (g.sx * g.sy)
+    if grid is not None:
+        W, H = grid
+        pad = ((-(-W // g.tile_x) * g.tile_x)
+               * (-(-H // g.tile_y) * g.tile_y))
+        eff *= (W * H) / pad
+    return eff
+
+
 def choose_geometry(S, A, C, closure: CohortClosure | None = None,
                     budget: int = VMEM_BUDGET_BYTES,
                     grid=None) -> CohortGeometry:
@@ -317,13 +333,7 @@ def choose_geometry(S, A, C, closure: CohortClosure | None = None,
                     continue
                 if cohort_vmem_bytes(S, A, C, g, closure) > budget:
                     continue
-                eff = (g.tile_x * ty) / (sx * sy)
-                if grid is not None:
-                    W, H = grid
-                    pad = ((-(-W // g.tile_x) * g.tile_x)
-                           * (-(-H // ty) * ty))
-                    eff *= (W * H) / pad
-                cands.append((eff, k, sx * sy, g))
+                cands.append((geometry_efficiency(g, grid), k, sx * sy, g))
     if not cands:
         raise ValueError(
             f"no cohort window geometry fits S={S}, A={A}, C={C} under "
@@ -630,15 +640,13 @@ def cohort_round(st, G, aux, rules, Llen, push, closure=None):
 
         P = st.shape[0] // ncol
         cl1 = _dc.replace(cl, colors=1)
-        arrs, dep = [], None
+        arrs = []
         for j in range(ncol):
-            a, d = cohort_round(
-                st[j * P:(j + 1) * P],
-                jnp.zeros_like(G), aux, rules, Llen, push, cl1,
+            a, G = cohort_round(
+                st[j * P:(j + 1) * P], G, aux, rules, Llen, push, cl1,
             )
             arrs.append(a)
-            dep = d if dep is None else dep + d
-        return jnp.concatenate(arrs, axis=0), G + dep
+        return jnp.concatenate(arrs, axis=0), G
     if nnodes > 1:
         return _cohort_round_nodes(st, G, aux, rules, Llen, push, cl,
                                    nnodes)
@@ -1205,17 +1213,27 @@ def n_deposits(S, closure=None):
 
 def carried_live(ST, closure=None):
     """Per-deposit-channel live carried mass: sum over ensembles (nodes)
-    and cells of |carried|, (C,) float32.  This bounds the deposits any
-    FUTURE round can add — every transit factor is <= 1 (attenuation
-    rates are clamped non-negative) and each round deposits at most the
-    arriving carried totals — so `carried_live(ST) * rounds_remaining`
-    bounds the tail of the deposit sum.  The convergence-adaptive solves
-    stop when that bound drops below `tol` of the accumulated deposits
-    (f32-roundoff-equivalent to running the full fixed depth; see
-    cohort_advance).  The reference runs its trajectory loop to the
-    fixed maxage bound instead (erosion.cu:101) — on GPU dead particles
-    are cheap warp-idle lanes; on TPU whole dead ROUNDS are full-cost
-    HBM passes, which is why the faithful-depth default wants the exit."""
+    and cells of |carried|, (C,) float32.
+
+    For CONTRACTIVE rules (every transit factor <= 1 — declared via
+    `rules.contractive`, e.g. the fluvial physics whose attenuation
+    rates are clamped non-negative), each round deposits at most the
+    arriving carried totals and carried mass never grows, so
+    `carried_live(ST) * rounds_remaining` bounds the tail of the
+    deposit sum; the adaptive solves stop when that bound drops below
+    `tol` of the accumulated deposits (f32-roundoff-equivalent to the
+    full fixed depth; see cohort_advance).  For NON-contractive rules
+    (debris: the suspension factor exceeds 1 above the yield-stress
+    balance, so carried mass can GROW between rounds) the bound is
+    invalid and `tail_converged` instead requires live == 0 exactly —
+    rigorous for any physics, since dead cohorts emit nothing — which
+    the debris solve reaches in practice: its velocity-decay rheology
+    collapses cohort speed, the alive mask kills the cohort, and its
+    state is overwritten by (zero) arrivals.  The reference runs its
+    trajectory loop to the fixed maxage bound instead (erosion.cu:101)
+    — on GPU dead particles are cheap warp-idle lanes; on TPU whole
+    dead ROUNDS are full-cost HBM passes, which is why the
+    faithful-depth default wants the exit."""
     S = ST.shape[0]
     C = n_deposits(S, closure)
     P = NSTATE + C
@@ -1234,12 +1252,20 @@ def deposit_gauge(G):
     return jnp.sum(jnp.abs(G), axis=(1, 2))
 
 
-def tail_converged(live, gauge, remaining_rounds, tol):
-    """True once every channel's remaining-deposit bound is below tol of
-    its accumulated deposits (replicated scalar; psum live/gauge first
-    under shard_map)."""
-    rem = jnp.asarray(remaining_rounds, jnp.float32)
-    return jnp.all(live * rem <= jnp.float32(tol) * gauge)
+def tail_converged(live, gauge, remaining_rounds, tol, contractive=False):
+    """True once the solve provably cannot add more than tol of the
+    accumulated deposits (replicated scalar; psum live/gauge first
+    under shard_map).
+
+    contractive=True (rules declare every transit factor <= 1): the
+    live*remaining bound applies.  False (default — safe for arbitrary
+    user rules, required for debris whose suspension factor can exceed
+    1): exit only when live carried mass is exactly zero, which bounds
+    the tail at zero for any physics (see carried_live)."""
+    if contractive:
+        rem = jnp.asarray(remaining_rounds, jnp.float32)
+        return jnp.all(live * rem <= jnp.float32(tol) * gauge)
+    return jnp.all(live <= 0.0)
 
 
 def cohort_advance_reference(st0, aux, rules, iters, Llen, *, closure=None,
@@ -1253,11 +1279,14 @@ def cohort_advance_reference(st0, aux, rules, iters, Llen, *, closure=None,
     G0 = jnp.zeros((C,) + st0.shape[1:], st0.dtype)
 
     if tol and tol > 0.0:
+        contractive = bool(getattr(rules, "contractive", False))
+
         def cond(carry):
             i, st, G = carry
             live = carried_live(st, closure)
             return (i < iters) & ~tail_converged(
-                live, deposit_gauge(G), jnp.float32(iters) - i, tol
+                live, deposit_gauge(G), jnp.float32(iters) - i, tol,
+                contractive,
             )
 
         def body(carry):
@@ -1506,12 +1535,14 @@ def cohort_advance(st0, aux, rules, iters, Llen, *, interpret=False,
         # they hold at most one round of arrivals into the kill zone
         # (dead cells never re-emit), so they only delay the exit by at
         # most one pass, never allow an early one.
+        contractive = bool(getattr(rules, "contractive", False))
+
         def cond(carry):
             i, STp, G = carry
             live = carried_live(STp, closure)
             remaining = jnp.float32(iters) - jnp.float32(K) * i
             return (i < n_full) & ~tail_converged(
-                live, deposit_gauge(G), remaining, tol
+                live, deposit_gauge(G), remaining, tol, contractive
             )
 
         def body(carry):
@@ -1526,7 +1557,8 @@ def cohort_advance(st0, aux, rules, iters, Llen, *, interpret=False,
             # Skip the static tail pass too once converged (its deposits
             # sit under the same bound).
             live = carried_live(STp, closure)
-            done = tail_converged(live, deposit_gauge(G), rem, tol)
+            done = tail_converged(live, deposit_gauge(G), rem, tol,
+                                  contractive)
             STp, G = jax.lax.cond(
                 done, lambda st, g: (st, g),
                 lambda st, g: one_pass(st, g, rem), STp, G,

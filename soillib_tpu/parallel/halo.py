@@ -300,12 +300,14 @@ class ShardHalo(Halo):
             return live, gauge
 
         if tol and tol > 0.0 and n_full:
+            contractive = bool(getattr(rules, "contractive", False))
+
             def cond(carry):
                 i, ST, G = carry
                 live, gauge = live_gauge(ST, G)
                 remaining = jnp.float32(iters) - jnp.float32(K) * i
                 return (i < n_full) & ~CO.tail_converged(
-                    live, gauge, remaining, tol
+                    live, gauge, remaining, tol, contractive
                 )
 
             def body(carry):
@@ -318,7 +320,8 @@ class ShardHalo(Halo):
             )
             if rem:
                 live, gauge = live_gauge(ST, G)
-                done = CO.tail_converged(live, gauge, rem, tol)
+                done = CO.tail_converged(live, gauge, rem, tol,
+                                         contractive)
 
                 def tail(st, g):
                     _, gp = one_pass(st, rem)
@@ -359,13 +362,14 @@ class ShardHalo(Halo):
 
         if tol and tol > 0.0:
             names = (self.ax_name, self.ay_name)
+            contractive = bool(getattr(rules, "contractive", False))
 
             def cond(carry):
                 i, st, G = carry
                 live = jax.lax.psum(CO.carried_live(st, closure), names)
                 gauge = jax.lax.psum(CO.deposit_gauge(G), names)
                 return (i < iters) & ~CO.tail_converged(
-                    live, gauge, jnp.float32(iters) - i, tol
+                    live, gauge, jnp.float32(iters) - i, tol, contractive
                 )
 
             def body(carry):

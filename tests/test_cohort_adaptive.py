@@ -41,10 +41,11 @@ def _exit_round(st0, aux, rules, iters, Llen, tol):
     )
 
     C = n_deposits(st0.shape[0])
+    contractive = bool(getattr(rules, "contractive", False))
     st, G = st0, jnp.zeros((C,) + st0.shape[1:], st0.dtype)
     for i in range(iters):
         if bool(tail_converged(carried_live(st), deposit_gauge(G),
-                               iters - i, tol)):
+                               iters - i, tol, contractive)):
             return i
         st, G = cohort_round(st, G, aux, rules, Llen, shift_push)
     return iters
@@ -68,6 +69,52 @@ def test_adaptive_reference_matches_fixed_depth():
         f"adaptive exit at round {exit_at}/{iters} — criterion never "
         f"bit on a config whose cohorts decay at rate >= 0.1/round"
     )
+
+
+def test_adaptive_never_exits_early_on_growing_rules():
+    """Non-contractive rules (growth factors > 1, the debris suspension
+    regime) must NOT use the live*remaining bound — it is invalid when
+    carried mass grows between rounds (code-review finding, round 5).
+    Without `rules.contractive` the exit requires live == 0 exactly, so
+    a config whose carried mass GROWS keeps full fixed depth and stays
+    equivalent."""
+    from soillib_tpu.ops.cohort import cohort_advance_reference
+
+    st0, aux, rules0 = _cohort_problem(jax.random.PRNGKey(9), 2, 32, 32)
+
+    def rules(dL, inv, w, carried, unit2, aux_tail):
+        w1 = 1.0 / (1.0 + 0.05 * dL)
+        fac = jnp.full_like(dL, 1.15)  # sustained growth regime
+        return w1, (fac,)
+
+    rules.classes = (0, 0)
+    # NO rules.contractive: defaults to the strict live == 0 criterion.
+    iters = 40
+    _, g_fix = cohort_advance_reference(st0, aux, rules, iters, 0.11)
+    _, g_ad = cohort_advance_reference(st0, aux, rules, iters, 0.11,
+                                       tol=TOL)
+    np.testing.assert_allclose(np.asarray(g_ad), np.asarray(g_fix),
+                               rtol=2e-6, atol=1e-6)
+
+    # The eager probe confirms the strict criterion never fires while
+    # carried mass is still alive and growing.
+    exit_at = _exit_round(st0, aux, rules, iters, 0.11, TOL)
+    from soillib_tpu.ops.cohort import carried_live
+    # live goes exactly to zero only when every cohort has left the
+    # domain; on a 32x32 grid with drifting velocities that can happen
+    # before 40 rounds — equivalence above is the real assertion, and
+    # any early exit must coincide with exact-zero live.
+    if exit_at < iters:
+        st, G = st0, None
+        from soillib_tpu.ops.cohort import cohort_round, n_deposits, \
+            shift_push
+        C = n_deposits(st0.shape[0])
+        G = jnp.zeros((C,) + st0.shape[1:], st0.dtype)
+        from soillib_tpu.ops.cohort import NSTATE
+
+        for _ in range(exit_at):
+            st, G = cohort_round(st, G, aux, rules, 0.11, shift_push)
+        assert float(jnp.sum(jnp.abs(st[NSTATE:]))) == 0.0
 
 
 def test_adaptive_kernel_matches_fixed_depth():

@@ -140,6 +140,7 @@ def _cohort_problem(key, C, W, H):
         return w1, (fac,)
 
     rules.classes = (0,) * C
+    rules.contractive = True  # decay >= 0.1 -> every factor <= 1
     return st0, aux, rules
 
 
