@@ -80,13 +80,16 @@ class ErosionParams:
     # never deposits — see transport_fluvial)
     # Convergence-adaptive transport depth (field method only): > 0 makes
     # the round count an UPPER bound — the cohort solve exits once the
-    # remaining-deposit bound (live carried mass x rounds left) drops
-    # below this fraction of the accumulated deposits per channel
-    # (ops/cohort.py carried_live). At 1e-6 the result matches the fixed
-    # full-depth solve to f32 roundoff while costing only the rounds
-    # that still move mass — this is what makes the reference-faithful
-    # depth (maxage-2 rounds, erosion.cu:101) affordable on TPU.
-    # Forward-only (lax.while_loop); keep 0.0 for differentiable solves.
+    # remaining deposits are provably below this fraction of the
+    # accumulated ones (ops/cohort.py carried_live/tail_converged:
+    # contractive rules like the fluvial physics use the live-mass x
+    # rounds-left bound; debris and arbitrary rules exit only at
+    # exact-zero live, sound for any physics). At 1e-6 the result
+    # matches the fixed full-depth solve to f32 roundoff while costing
+    # only the rounds that still move mass — this is what makes the
+    # reference-faithful depth (maxage-2 rounds, erosion.cu:101)
+    # affordable on TPU. Forward-only (lax.while_loop); keep 0.0 for
+    # differentiable solves.
     transportTol: float = 0.0
     # Albedo instrumentation toggle: albedo never feeds back into the
     # height/water/debris dynamics, so turning it off changes no
