@@ -117,6 +117,22 @@ def test_adaptive_never_exits_early_on_growing_rules():
         assert float(jnp.sum(jnp.abs(st[NSTATE:]))) == 0.0
 
 
+def test_adaptive_matches_fixed_510_rounds():
+    """The literal reference-faithful depth: auto(tol) == fixed-510 to
+    f32 roundoff (maxage 512 -> 510 deposit rounds, erosion.cu:101) on
+    a test grid."""
+    from soillib_tpu.ops.cohort import cohort_advance_reference
+
+    st0, aux, rules = _cohort_problem(jax.random.PRNGKey(6), 2, 32, 32)
+    _, g_fix = cohort_advance_reference(st0, aux, rules, 510, 0.11)
+    _, g_ad = cohort_advance_reference(st0, aux, rules, 510, 0.11,
+                                       tol=TOL)
+    np.testing.assert_allclose(np.asarray(g_ad), np.asarray(g_fix),
+                               rtol=2e-6, atol=1e-6)
+    exit_at = _exit_round(st0, aux, rules, 510, 0.11, TOL)
+    assert exit_at <= 160, f"adaptive ran {exit_at}/510 rounds"
+
+
 def test_adaptive_kernel_matches_fixed_depth():
     """The Pallas path's pass-granular while_loop (+ lax.cond tail skip)
     == the fixed-depth kernel, including a non-multiple-of-K remainder."""
