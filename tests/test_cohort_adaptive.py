@@ -173,6 +173,39 @@ def test_adaptive_sharded_matches_fixed(mesh):
                                rtol=2e-5, atol=1e-5)
 
 
+def test_adaptive_full_sharded_step_matches_single_device(mesh):
+    """transportTol through make_sharded_erode_fn (the whole coupled
+    step under shard_map, K-blocked exchange + psum'd exit decision) ==
+    the single-device adaptive step."""
+    from soillib_tpu import parallel as par
+    from soillib_tpu.models.simulation import erode_step
+    from soillib_tpu.ops.sweep import HALO_K
+
+    px, py = mesh.devices.shape
+    W, H = px * 2 * HALO_K, py * 2 * HALO_K
+    import soillib_tpu as soil
+
+    h = soil.noise((W, H), soil.noise_t(seed=3.0)) * 0.5 + 1.0
+    state = soil.ErosionState.zeros((W, H), height=h)
+    p = soil.ErosionParams()
+    p.maxage = HALO_K * 2 + 6  # adaptive bound; K-blocked + remainder
+    p.transportTol = 1e-6
+    scale = (0.078, 0.078, 4.0)
+
+    sharded = par.shard_state(state, mesh)
+    step = par.make_sharded_erode_fn(mesh, scale, p, steps=1)
+    out = step(sharded, jax.random.PRNGKey(0))
+    ref = jax.jit(lambda s, k: erode_step(s, scale, p, k))(
+        state, jax.random.PRNGKey(0)
+    )
+    for name in ("layers", "discharge", "momentum", "mass"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(ref, name)),
+            rtol=1e-4, atol=1e-5, err_msg=name,
+        )
+
+
 def test_adaptive_erosion_step_matches_fixed():
     """transportTol through the full coupled model: a 2-step erode at
     faithful depth with tol == without, to f32 roundoff, on a terrain
