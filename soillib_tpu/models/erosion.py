@@ -269,9 +269,11 @@ def _node_masks(nnodes, speed, node_rule="face"):
     of the face its velocity points toward ([+x, -x, +y, -y]; nodes=2
     pools the signs per axis); sign rule — its velocity sign quadrant
     ([++, +-, -+, --]), matching ops/cohort.py `_cohort_round_nodes`."""
-    if node_rule == "sign":
+    if node_rule in ("sign", "cluster"):
+        # Cluster births seed from the sign-quadrant prototypes too
+        # (ops/cohort.py _cohort_round_cluster dead-node seeding).
         if nnodes != 4:
-            raise ValueError("node_rule='sign' requires nodes=4")
+            raise ValueError(f"node_rule={node_rule!r} requires nodes=4")
         xpos = speed[0] >= 0.0
         ypos = speed[1] >= 0.0
         return [jnp.where(xpos & ypos, 1.0, 0.0),

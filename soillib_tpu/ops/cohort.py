@@ -165,6 +165,12 @@ class CohortClosure:
     #     confluence partners stay separated until relaxation actually
     #     aligns their velocities.  Round-5 study (RESULTS.md): the
     #     noise mixture metrics the face rule saturates on.
+    #   * "cluster" — SIMILARITY routing: each direction's pooled
+    #     arrival joins the target node with the nearest current mean
+    #     velocity (dead nodes compete with their sign-quadrant
+    #     prototype, which seeds the clusters).  The k-means-like
+    #     adaptive refinement of "sign"; see _cohort_round_cluster and
+    #     the single-origin probe study (RESULTS.md round 5).
     node_rule: str = "face"
 
 
@@ -270,7 +276,12 @@ def cohort_vmem_bytes(S, A, C, geom: CohortGeometry,
     # The N-node mixture advances its node payload generators in
     # lockstep, so every node's round-body intermediates are live at
     # once.
-    pool *= max(1, int(getattr(closure, "nodes", 1) or 1))
+    nnodes = max(1, int(getattr(closure, "nodes", 1) or 1))
+    pool *= nnodes
+    if getattr(closure, "node_rule", "face") == "cluster" and nnodes > 1:
+        # Cluster routing materializes the shifted per-direction channel
+        # stack (4 x per-node channels) plus the distance/mask fields.
+        pool += 4 * (S // nnodes) + 24
     live = 2 * (S + C) + 2 * S + C + pool
     return static + f * live * win
 
@@ -655,6 +666,137 @@ def cohort_round(st, G, aux, rules, Llen, push, closure=None):
     return arrivals, G + arrivals[NSTATE:]
 
 
+def _cohort_round_cluster(st, G, aux, rules, Llen, push, cl, nnodes):
+    """k-component mixture with SIMILARITY (online k-means-like) arrival
+    routing — `node_rule="cluster"`, nodes=4.
+
+    The single-origin probe (benchmarks/residual_probe.py) shows the
+    closure residual on rough terrain is intrinsic to ONE origin's flow
+    (self-splitting/merging multi-modality), which no fixed geometric
+    routing fully separates: sign-quadrant routing lifts the probe's
+    discharge corr 0.643 -> 0.759 but mis-buckets populations whose
+    velocities differ WITHIN a quadrant.  Cluster routing instead sends
+    each direction's pooled arrival to the target node whose CURRENT
+    mean velocity is nearest (squared L2), so components track the
+    actual velocity modes present at the cell; dead nodes compete with
+    their sign-quadrant PROTOTYPE direction (scaled to the arrival
+    speed), which seeds clusters geometrically and lets them adapt once
+    alive.  Granularity: arrivals are routed per ENTRY DIRECTION (the
+    four face streams, pooled over source nodes) — distinct velocity
+    modes at a cell overwhelmingly arrive via different faces.
+
+    Costs ~16% over face routing (4 single-direction pushes replace the
+    4-tuple push per channel, plus 4x4 distance masks and the routing
+    multiplies); the shifted per-direction channel stack must be
+    materialized, which `cohort_vmem_bytes` budgets for."""
+    S = st.shape[0]
+    P = S // nnodes
+    if nnodes != 4:
+        raise ValueError("node_rule='cluster' requires nodes=4")
+    gens = [
+        _round_payloads(st[j * P:(j + 1) * P], aux, rules, Llen, cl)
+        for j in range(nnodes)
+    ]
+
+    def nadd(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a + b
+
+    # Per-direction payloads pooled over source nodes, all P channels.
+    chans = []
+    for ts in zip(*gens):
+        xp, xn, yp, yn = ts[0]
+        for t in ts[1:]:
+            xp = nadd(xp, t[0])
+            xn = nadd(xn, t[1])
+            yp = nadd(yp, t[2])
+            yn = nadd(yn, t[3])
+        chans.append((xp, xn, yp, yn))
+
+    def sh1(c, d):
+        """Single-direction shift through the push callback (None slots
+        are trace-time zeros, so this costs one shift, not four)."""
+        if c is None:
+            return None
+        t = [None] * 4
+        t[d] = c
+        return push(tuple(t))
+
+    shifted = [[sh1(ch[d], d) for ch in chans] for d in range(4)]
+
+    Z = jnp.zeros_like(st[0])
+
+    def zval(x):
+        return Z if x is None else x
+
+    # Target node means from the round-entry state.
+    wj = [st[j * P] for j in range(4)]
+    live = [w > _EPS for w in wj]
+    inv_wj = [1.0 / jnp.maximum(w, _EPS) for w in wj]
+    vjx = [st[j * P + 1] * inv_wj[j] for j in range(4)]
+    vjy = [st[j * P + 2] * inv_wj[j] for j in range(4)]
+    # Sign-quadrant prototype directions ([++, +-, -+, --], unit).
+    inv_s2 = 0.7071067811865476
+    proto = ((inv_s2, inv_s2), (inv_s2, -inv_s2),
+             (-inv_s2, inv_s2), (-inv_s2, -inv_s2))
+
+    masks = []
+    for d in range(4):
+        wa = zval(shifted[d][0])
+        inv_wa = 1.0 / jnp.maximum(wa, _EPS)
+        vax = zval(shifted[d][1]) * inv_wa
+        vay = zval(shifted[d][2]) * inv_wa
+        sa = jnp.sqrt(jnp.maximum(vax * vax + vay * vay, _EPS * _EPS))
+        dists = []
+        for j in range(4):
+            dl = (vax - vjx[j]) ** 2 + (vay - vjy[j]) ** 2
+            px, py = proto[j]
+            dd = (vax - sa * px) ** 2 + (vay - sa * py) ** 2
+            dists.append(jnp.where(live[j], dl, dd))
+        dmin = jnp.minimum(jnp.minimum(dists[0], dists[1]),
+                           jnp.minimum(dists[2], dists[3]))
+        taken = None
+        mrow = []
+        for j in range(4):
+            hit = dists[j] <= dmin
+            if taken is not None:
+                hit = hit & ~taken
+            m = jnp.where(hit, 1.0, 0.0)
+            taken = hit if taken is None else (taken | hit)
+            mrow.append(m)
+        masks.append(mrow)
+
+    # Route every channel's four shifted directions by the masks.
+    arr_ch = []
+    for j in range(4):
+        for c in range(P):
+            acc = None
+            for d in range(4):
+                s = shifted[d][c]
+                if s is None:
+                    continue
+                term = masks[d][j] * s
+                acc = term if acc is None else acc + term
+            arr_ch.append(Z if acc is None else acc)
+    arrivals = jnp.stack(arr_ch, axis=0)
+
+    # Deposits: the masks partition each arrival, so the node sum is
+    # just the direction sum of the carried channels.
+    dep = []
+    for c in range(NSTATE, P):
+        acc = None
+        for d in range(4):
+            s = shifted[d][c]
+            if s is None:
+                continue
+            acc = s if acc is None else acc + s
+        dep.append(Z if acc is None else acc)
+    return arrivals, G + jnp.stack(dep, axis=0)
+
+
 def _cohort_round_nodes(st, G, aux, rules, Llen, push, cl, nnodes):
     """N-node mixture transit: the state carries `nnodes` independent
     full ensembles per cell ([node0 moments+carried, node1 ...]) and
@@ -675,7 +817,11 @@ def _cohort_round_nodes(st, G, aux, rules, Llen, push, cl, nnodes):
     faces, which lands in the other node instead of merging back)."""
     S = st.shape[0]
     P = S // nnodes
-    sign_rule = getattr(cl, "node_rule", "face") == "sign"
+    rule = getattr(cl, "node_rule", "face")
+    if rule == "cluster":
+        return _cohort_round_cluster(st, G, aux, rules, Llen, push, cl,
+                                     nnodes)
+    sign_rule = rule == "sign"
     if sign_rule and nnodes != 4:
         raise ValueError("node_rule='sign' requires nodes=4")
     ratios = [None] * nnodes

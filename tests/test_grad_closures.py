@@ -55,6 +55,9 @@ CLOSURES = [
     CohortClosure(nodes=4),
     # Sign-quadrant routing (round-5 ablation; divides by face weights).
     CohortClosure(nodes=4, node_rule="sign"),
+    # Similarity (cluster) routing (round-5 ablation; argmin masks +
+    # guarded arrival-mean divisions).
+    CohortClosure(nodes=4, node_rule="cluster"),
 ]
 
 

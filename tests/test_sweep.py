@@ -180,6 +180,34 @@ def test_cohort_kernel_multitile():
                                rtol=2e-5, atol=1e-5)
 
 
+def test_cohort_kernel_cluster_nodes_matches_reference():
+    """Similarity (cluster) node routing through the Pallas kernel ==
+    the jnp reference (deposit contract, multi-pass)."""
+    from soillib_tpu.ops.cohort import (
+        CohortClosure,
+        cohort_advance,
+        cohort_advance_reference,
+    )
+
+    closure = CohortClosure(nodes=4, node_rule="cluster")
+    st0, aux, rules = _cohort_problem(jax.random.PRNGKey(4), 2, 72, 60)
+    vx = st0[1] / st0[0]
+    vy = st0[2] / st0[0]
+    masks = [(vx >= 0) & (vy >= 0), (vx >= 0) & (vy < 0),
+             (vx < 0) & (vy >= 0), (vx < 0) & (vy < 0)]
+    stn = jnp.concatenate(
+        [st0 * jnp.where(m, 1.0, 0.0)[None] for m in masks], axis=0
+    )
+    _, g_w = cohort_advance_reference(stn, aux, rules, 9, 0.11,
+                                      closure=closure)
+    st_g, g_g = cohort_advance(stn, aux, rules, 9, 0.11, interpret=True,
+                               closure=closure)
+    assert g_w.shape[0] == 2 and st_g.shape[0] == stn.shape[0]
+    assert np.isfinite(np.asarray(g_w)).all()
+    np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_w),
+                               rtol=2e-5, atol=1e-5)
+
+
 def test_cohort_kernel_sign_nodes_matches_reference():
     """Sign-quadrant node routing (CohortClosure.node_rule='sign')
     through the Pallas kernel == the jnp reference, and conserves the
