@@ -269,6 +269,14 @@ def _node_masks(nnodes, speed, node_rule="face"):
     of the face its velocity points toward ([+x, -x, +y, -y]; nodes=2
     pools the signs per axis); sign rule — its velocity sign quadrant
     ([++, +-, -+, --]), matching ops/cohort.py `_cohort_round_nodes`."""
+    if node_rule == "speed":
+        # [fast, slow]: newborns all carry birth-scale speed — they
+        # start in the fast component; the slow one seeds from slow
+        # ARRIVALS (ops/cohort.py _cohort_round_cluster speed mode).
+        if nnodes != 2:
+            raise ValueError("node_rule='speed' requires nodes=2")
+        one = jnp.ones_like(speed[0])
+        return [one, jnp.zeros_like(one)]
     if node_rule in ("sign", "cluster"):
         # Cluster births seed from the sign-quadrant prototypes too
         # (ops/cohort.py _cohort_round_cluster dead-node seeding).

@@ -171,6 +171,10 @@ class CohortClosure:
     #     prototype, which seeds the clusters).  The k-means-like
     #     adaptive refinement of "sign"; see _cohort_round_cluster and
     #     the single-origin probe study (RESULTS.md round 5).
+    #   * "speed" (nodes=2) — fast/slow components, 1-D speed k-means
+    #     on the same machinery (the age-deficit counter-experiment;
+    #     measured null — per-face pooling routes slow mass inside
+    #     fast-dominated arrivals.  RESULTS.md round 5).
     node_rule: str = "face"
 
 
@@ -278,7 +282,8 @@ def cohort_vmem_bytes(S, A, C, geom: CohortGeometry,
     # once.
     nnodes = max(1, int(getattr(closure, "nodes", 1) or 1))
     pool *= nnodes
-    if getattr(closure, "node_rule", "face") == "cluster" and nnodes > 1:
+    if (getattr(closure, "node_rule", "face") in ("cluster", "speed")
+            and nnodes > 1):
         # Cluster routing materializes the shifted per-direction channel
         # stack (4 x per-node channels) plus the distance/mask fields.
         pool += 4 * (S // nnodes) + 24
@@ -691,7 +696,11 @@ def _cohort_round_cluster(st, G, aux, rules, Llen, push, cl, nnodes):
     materialized, which `cohort_vmem_bytes` budgets for."""
     S = st.shape[0]
     P = S // nnodes
-    if nnodes != 4:
+    speed_mode = getattr(cl, "node_rule", "face") == "speed"
+    if speed_mode:
+        if nnodes != 2:
+            raise ValueError("node_rule='speed' requires nodes=2")
+    elif nnodes != 4:
         raise ValueError("node_rule='cluster' requires nodes=4")
     gens = [
         _round_payloads(st[j * P:(j + 1) * P], aux, rules, Llen, cl)
@@ -733,11 +742,11 @@ def _cohort_round_cluster(st, G, aux, rules, Llen, push, cl, nnodes):
         return Z if x is None else x
 
     # Target node means from the round-entry state.
-    wj = [st[j * P] for j in range(4)]
+    wj = [st[j * P] for j in range(nnodes)]
     live = [w > _EPS for w in wj]
     inv_wj = [1.0 / jnp.maximum(w, _EPS) for w in wj]
-    vjx = [st[j * P + 1] * inv_wj[j] for j in range(4)]
-    vjy = [st[j * P + 2] * inv_wj[j] for j in range(4)]
+    vjx = [st[j * P + 1] * inv_wj[j] for j in range(nnodes)]
+    vjy = [st[j * P + 2] * inv_wj[j] for j in range(nnodes)]
     # Sign-quadrant prototype directions ([++, +-, -+, --], unit).
     inv_s2 = 0.7071067811865476
     proto = ((inv_s2, inv_s2), (inv_s2, -inv_s2),
@@ -751,16 +760,31 @@ def _cohort_round_cluster(st, G, aux, rules, Llen, push, cl, nnodes):
         vay = zval(shifted[d][2]) * inv_wa
         sa = jnp.sqrt(jnp.maximum(vax * vax + vay * vay, _EPS * _EPS))
         dists = []
-        for j in range(4):
-            dl = (vax - vjx[j]) ** 2 + (vay - vjy[j]) ** 2
-            px, py = proto[j]
-            dd = (vax - sa * px) ** 2 + (vay - sa * py) ** 2
-            dists.append(jnp.where(live[j], dl, dd))
-        dmin = jnp.minimum(jnp.minimum(dists[0], dists[1]),
-                           jnp.minimum(dists[2], dists[3]))
+        if speed_mode:
+            # 1-D speed clustering ([fast, slow]): the age-deficit
+            # study's target — pit-trapped slow sub-populations stop
+            # pooling into the fast ensemble's RMS speed.  Dead-node
+            # seeds: fast = the arrival's own speed (first arrivals
+            # land fast), slow = sa/4 (captures arrivals under ~57% of
+            # the live fast mean once they appear).
+            for j in range(2):
+                sj = jnp.sqrt(jnp.maximum(
+                    vjx[j] * vjx[j] + vjy[j] * vjy[j], _EPS * _EPS))
+                dl = (sa - sj) ** 2
+                dd = jnp.square(sa - (sa if j == 0 else 0.25 * sa))
+                dists.append(jnp.where(live[j], dl, dd))
+        else:
+            for j in range(4):
+                dl = (vax - vjx[j]) ** 2 + (vay - vjy[j]) ** 2
+                px, py = proto[j]
+                dd = (vax - sa * px) ** 2 + (vay - sa * py) ** 2
+                dists.append(jnp.where(live[j], dl, dd))
+        dmin = dists[0]
+        for dj in dists[1:]:
+            dmin = jnp.minimum(dmin, dj)
         taken = None
         mrow = []
-        for j in range(4):
+        for j in range(nnodes):
             hit = dists[j] <= dmin
             if taken is not None:
                 hit = hit & ~taken
@@ -771,7 +795,7 @@ def _cohort_round_cluster(st, G, aux, rules, Llen, push, cl, nnodes):
 
     # Route every channel's four shifted directions by the masks.
     arr_ch = []
-    for j in range(4):
+    for j in range(nnodes):
         for c in range(P):
             acc = None
             for d in range(4):
@@ -818,7 +842,7 @@ def _cohort_round_nodes(st, G, aux, rules, Llen, push, cl, nnodes):
     S = st.shape[0]
     P = S // nnodes
     rule = getattr(cl, "node_rule", "face")
-    if rule == "cluster":
+    if rule in ("cluster", "speed"):
         return _cohort_round_cluster(st, G, aux, rules, Llen, push, cl,
                                      nnodes)
     sign_rule = rule == "sign"

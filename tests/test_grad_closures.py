@@ -58,6 +58,8 @@ CLOSURES = [
     # Similarity (cluster) routing (round-5 ablation; argmin masks +
     # guarded arrival-mean divisions).
     CohortClosure(nodes=4, node_rule="cluster"),
+    # Fast/slow speed-split routing (round-5 ablation).
+    CohortClosure(nodes=2, node_rule="speed"),
 ]
 
 

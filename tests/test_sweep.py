@@ -208,6 +208,29 @@ def test_cohort_kernel_cluster_nodes_matches_reference():
                                rtol=2e-5, atol=1e-5)
 
 
+def test_cohort_kernel_speed_nodes_matches_reference():
+    """Fast/slow speed-split routing (node_rule='speed', nodes=2)
+    through the Pallas kernel == the jnp reference; the slow component
+    accumulates weight from slow arrivals."""
+    from soillib_tpu.ops.cohort import (
+        CohortClosure,
+        cohort_advance,
+        cohort_advance_reference,
+    )
+
+    closure = CohortClosure(nodes=2, node_rule="speed")
+    st0, aux, rules = _cohort_problem(jax.random.PRNGKey(5), 2, 72, 60)
+    stn = jnp.concatenate([st0, jnp.zeros_like(st0)], axis=0)
+    st_w, g_w = cohort_advance_reference(stn, aux, rules, 9, 0.11,
+                                         closure=closure)
+    st_g, g_g = cohort_advance(stn, aux, rules, 9, 0.11, interpret=True,
+                               closure=closure)
+    assert g_w.shape[0] == 2 and st_g.shape[0] == stn.shape[0]
+    assert float(jnp.sum(st_w[st0.shape[0]])) > 0.0  # slow node seeded
+    np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_w),
+                               rtol=2e-5, atol=1e-5)
+
+
 def test_cohort_kernel_sign_nodes_matches_reference():
     """Sign-quadrant node routing (CohortClosure.node_rule='sign')
     through the Pallas kernel == the jnp reference, and conserves the
