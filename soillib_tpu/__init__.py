@@ -32,6 +32,7 @@ from soillib_tpu.core.grid import (
     oob,
 )
 from soillib_tpu.core.timer import timer, profile, us, ms, s, ns
+from soillib_tpu.core.yieldgen import yield_t, make_yield, prefetch
 from soillib_tpu.core import metrics, morton
 from soillib_tpu.ops.stencil import gradient, negslope, laplacian, normal
 from soillib_tpu.ops.filter import gaussian_blur
@@ -80,6 +81,7 @@ __all__ = [
     "D4", "D8", "d4", "d8", "D4_SHIFTS", "D8_SHIFTS",
     "Shape", "flatten", "unflatten", "oob",
     "timer", "profile", "ns", "us", "ms", "s",
+    "yield_t", "make_yield", "prefetch",
     "metrics", "morton", "silt", "parallel",
     "gradient", "negslope", "laplacian", "normal",
     "gaussian_blur",
